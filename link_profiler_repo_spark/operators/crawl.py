@@ -1,0 +1,578 @@
+"""The crawl engine: iterative BFS / priority-frontier epochs as DataFrame plans.
+
+Two modes, both checkpoint-resumable, both oracle-verified (oracle_sim.py):
+
+run_bfs — exact ordering-equality mode. Reproduces the reference BFS loop
+(services/crawl_service.py:487-601) wave-by-wave:
+
+  frontier(d) --dedup within wave + bloom-prefiltered anti-join vs seen-->
+  eligible --dense rank (order.with_global_index) + max_pages cut-->
+  crawled wave --left join docs (the 'fetch'; deterministic status)-->
+  --Arrow-batched link extraction--> outlinks --admission filters +
+  (boundary-wave-only) sequential budget scan--> frontier(d+1)
+
+Per-wave the ONLY driver-side sequential work is the max_pages admission scan
+(reference check `crawled + qsize < max_pages`, crawl_service.py:599-600),
+and it runs only on the single wave where the budget can bind — every other
+wave takes the all-admitted fast path (an upper bound on crawled+qsize is
+checked first). Everything else is distributed: the dense ordering index uses
+range-partition + per-partition offsets (no global window), the seen anti-join
+is hash-partitioned with a Bloom sidecar prefilter, skew from hot hosts rides
+on AQE skew-join handling.
+
+run_scheduler — priority-frontier mode (the north_rule scheduler):
+per-host FIFO-within-priority ranks (windowed rank over host-partitioned
+frontier, smart_crawler_queue.py:81-103), per-epoch politeness budgets
+min(host_budget, floor(epoch_seconds/crawl_delay)) (logical-time rendering of
+the can_crawl_now gate :76-79), global wave order (priority, host, rank)
+(:163), robots disallow filtering at admission (robots_parser.py semantics),
+retry demotion + dead-letter (:182-192).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..config import CrawlConfig
+from ..functions.bloom import add_to_bloom, might_contain_udf
+from ..functions.extract import with_links
+from ..functions.urls import canonicalize, url_host, url_sha256
+from ..state import StateStore
+from ..synth import SynthParams
+from .order import unpersist_all, with_global_index
+
+_FRONTIER_COLS = ["url", "url_hash", "xx64", "host", "depth", "wave_seq"]
+
+
+@dataclass
+class CrawlStats:
+    epochs: int = 0
+    crawled: int = 0
+    scheduled: int = 0  # candidate URLs pushed through schedule+dedup (bench metric)
+    wall_seconds: float = 0.0
+    per_epoch: list = field(default_factory=list)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: CrawlConfig,
+        docs_df: DataFrame,
+        workdir: str,
+        synth_params: SynthParams | None = None,
+        robots_df: DataFrame | None = None,
+        use_bloom: bool = True,
+        bloom_bits: int = 1 << 23,
+        canonical_mode: str = "identity",
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.p = synth_params or SynthParams()
+        self.docs = docs_df
+        self.robots = robots_df
+        self.store = StateStore(workdir, cfg.job_id)
+        self.use_bloom = use_bloom
+        self.bloom_bits = bloom_bits
+        self.canonical_mode = canonical_mode
+        self.stats = CrawlStats()
+
+    # -- shared helpers --------------------------------------------------------
+
+    def _with_keys(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        c = F.col(url_col)
+        return df.withColumn(
+            "url_hash", url_sha256(canonicalize(c, self.canonical_mode))
+        ).withColumn("xx64", F.xxhash64(c)).withColumn("host", url_host(c))
+
+    def _status_col(self) -> F.Column:
+        """Deterministic fetch outcome, mirroring synth.fetch_status: flaky
+        host -> 503, absent from docs -> 404, else 200. Pure Catalyst."""
+        hidx = F.regexp_extract(F.col("host"), r"^h(\d+)\.", 1).cast("int")
+        cond_flaky = (
+            F.lit(self.p.flaky_host_mod > 0)
+            & (hidx % F.lit(max(self.p.flaky_host_mod, 1)) == F.lit(3))
+        )
+        return (
+            F.when(cond_flaky, F.lit(503))
+            .when(F.col("doc_id").isNull(), F.lit(404))
+            .otherwise(F.lit(200))
+        )
+
+    def _not_seen(self, df: DataFrame, seen: DataFrame | None, bloom: np.ndarray | None) -> DataFrame:
+        """Exact anti-join vs seen, Bloom-prefiltered: definite-new rows skip
+        the shuffle; possible-positives fall through to the exact join."""
+        if seen is None:
+            return df
+        seen_keys = seen.select("url_hash")
+        if bloom is not None and self.use_bloom:
+            probe = might_contain_udf(bloom, self.bloom_bits)
+            flagged = df.withColumn("_maybe", probe(F.col("xx64")))
+            sure_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+            maybe = (
+                flagged.filter(F.col("_maybe"))
+                .drop("_maybe")
+                .join(seen_keys, "url_hash", "left_anti")
+            )
+            return sure_new.unionByName(maybe)
+        return df.join(seen_keys, "url_hash", "left_anti")
+
+    def _log_metrics(self, epoch: int, stage: str, df: DataFrame) -> None:
+        m = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .withColumn("epoch", F.lit(epoch))
+            .withColumn("stage", F.lit(stage))
+            .select("epoch", "partition_id", "stage", "rows")
+        )
+        self.store.write_epoch("metrics", epoch, m, mode="append")
+
+    # -- BFS mode ---------------------------------------------------------------
+
+    def _seed_frontier(self, seeds: list[str]) -> DataFrame:
+        rows = [(u, i) for i, u in enumerate(seeds)]
+        df = self.spark.createDataFrame(rows, schema="url string, wave_seq long")
+        return self._with_keys(df).withColumn("depth", F.lit(0)).select(*_FRONTIER_COLS)
+
+    def run_bfs(self, seeds: list[str], resume: bool = False) -> dict:
+        cfg, spark, store = self.cfg, self.spark, self.store
+        t0 = time.monotonic()
+
+        ckpt = store.read_checkpoint() if resume else None
+        if ckpt is not None:
+            epoch = int(ckpt["epoch"])
+            crawled = int(ckpt["crawled"])
+            frontier = store.read_epoch(spark, "frontier", epoch)
+            bloom = store.read_bloom(epoch) if self.use_bloom else None
+        else:
+            epoch = 0
+            crawled = 0
+            frontier = self._seed_frontier(seeds)
+            store.write_epoch("frontier", 0, frontier)
+            frontier = store.read_epoch(spark, "frontier", 0)
+            bloom = np.zeros(self.bloom_bits // 8, dtype=np.uint8) if self.use_bloom else None
+            if bloom is not None:
+                store.write_bloom(0, bloom)
+            store.commit({"epoch": 0, "crawled": 0, "mode": "bfs"})
+
+        while crawled < cfg.max_pages:
+            n_wave = frontier.count()
+            if n_wave == 0:
+                break
+            epoch += 1
+            seen = store.read_deltas(spark, "seen", epoch - 1)
+
+            # dequeue-time skips: depth >= max_depth (crawl_service.py:499-501),
+            # seen (:497-498), first-occurrence within the wave (dup enqueues)
+            elig = frontier.filter(F.col("depth") < F.lit(cfg.max_depth))
+            w = Window.partitionBy("url").orderBy("wave_seq")
+            elig = (
+                elig.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            elig = self._not_seen(elig, seen, bloom)
+
+            ranked, n_elig = with_global_index(elig, ["wave_seq"], "crawl_idx")
+            cut = cfg.max_pages - crawled
+            n_crawled_wave = min(n_elig, cut)
+            if n_elig > cut:
+                ranked = ranked.filter(F.col("crawl_idx") < F.lit(cut))
+
+            # 'fetch' = join against docs; at test scale the wave side is small
+            # so Spark broadcasts it (runtime bloom/DPP prunes the docs scan).
+            fetched = (
+                ranked.withColumn("crawl_order", F.col("crawl_idx") + F.lit(crawled))
+                .join(self.docs, ranked["url"] == self.docs["doc_id"], "left")
+                .withColumn("status_code", self._status_col())
+            )
+            fetched.persist()
+
+            seen_delta = fetched.select(
+                "url_hash", "url", "xx64", "depth", "crawl_order", "status_code",
+                F.lit(epoch).alias("epoch"),
+            )
+            store.write_epoch("seen", epoch, seen_delta)
+            self._log_metrics(epoch, "crawled", fetched)
+
+            pages = fetched.filter(F.col("status_code") == 200).select(
+                "url", "wave_seq", "crawl_idx", "depth", "spans"
+            )
+            links = (
+                with_links(pages, doc_col="url")
+                .select(
+                    F.col("url").alias("src"),
+                    F.col("wave_seq").alias("parent_q"),
+                    F.col("crawl_idx").alias("parent_k"),
+                    "depth",
+                    F.explode("links").alias("l"),
+                )
+                .select(
+                    "src", "parent_q", "parent_k", "depth",
+                    F.col("l.href").alias("dst"),
+                    F.col("l.anchor_text").alias("anchor_text"),
+                    F.col("l.rel").alias("rel"),
+                    F.col("l.link_type").alias("link_type"),
+                    F.col("l.pos").alias("pos"),
+                    F.col("l.from_tag").alias("from_tag"),
+                )
+            )
+            links.persist()
+
+            # edges: (src,dst) dedup == within-page first occurrence, because a
+            # page is crawled exactly once (crawl_service.py:95-116 Redis pair set)
+            we = Window.partitionBy("src", "dst").orderBy("pos")
+            edges_new = (
+                links.withColumn("_rn", F.row_number().over(we))
+                .filter(F.col("_rn") == 1)
+                .select(
+                    "src", "dst",
+                    url_host("src").alias("src_host"),
+                    url_host("dst").alias("dst_host"),
+                    "anchor_text", "link_type", "rel", "pos", "depth",
+                    F.lit(epoch).alias("epoch"),
+                )
+            )
+            store.write_epoch("edges", epoch, edges_new)
+
+            # children admission (enqueue checks, crawl_service.py:595-601):
+            cand = links.filter(F.col("from_tag") == "a").select(
+                F.col("dst").alias("url"), "parent_q", "parent_k", "pos",
+                (F.col("depth") + 1).alias("depth"),
+            )
+            cand = self._with_keys(cand)
+            if cfg.allowed_domains:
+                cand = cand.filter(F.col("host").isin(*sorted(cfg.allowed_domains)))
+            cand = self._not_seen(cand, seen, bloom)
+            # not crawled earlier in THIS wave (seen set grows during the wave)
+            cw = fetched.select(F.col("url").alias("_cu"), F.col("crawl_idx").alias("_ck"))
+            cand = (
+                cand.join(cw, cand["url"] == cw["_cu"], "left")
+                .filter(F.col("_ck").isNull() | (F.col("_ck") > F.col("parent_k")))
+                .drop("_cu", "_ck")
+            )
+
+            nxt, n_cand = with_global_index(cand, ["parent_q", "pos"], "wave_seq")
+            self.stats.scheduled += n_cand
+
+            # max_pages admission budget (crawl_service.py:599-600). Fast path:
+            # upper bound of crawled+qsize over the whole wave can't reach the
+            # budget => everything admitted, no sequential work.
+            bound = crawled + n_crawled_wave + n_wave + n_cand
+            if bound >= cfg.max_pages:
+                nxt = self._sequential_admission(nxt, crawled, n_wave)
+
+            nxt = nxt.select(*_FRONTIER_COLS)
+            store.write_epoch("frontier", epoch, nxt)
+            if bloom is not None:
+                bloom = add_to_bloom(bloom, seen_delta, "xx64", self.bloom_bits)
+                store.write_bloom(epoch, bloom)
+            self._log_metrics(epoch, "scheduled", nxt)
+
+            crawled += n_crawled_wave
+            store.commit({"epoch": epoch, "crawled": crawled, "mode": "bfs"})
+            self.stats.per_epoch.append(
+                {"epoch": epoch, "wave": n_wave, "crawled": n_crawled_wave, "candidates": n_cand}
+            )
+            fetched.unpersist()
+            links.unpersist()
+            unpersist_all()
+            frontier = store.read_epoch(spark, "frontier", epoch)
+
+        self.stats.epochs = epoch
+        self.stats.crawled = crawled
+        self.stats.wall_seconds = time.monotonic() - t0
+        return self._outputs(epoch)
+
+    def _sequential_admission(self, cand_indexed: DataFrame, crawled: int, n_wave: int) -> DataFrame:
+        """Boundary-wave-only exact replay of the reference's enqueue budget:
+        admit candidate c (in queue order) iff
+          (crawled_before + k_c + 1) + (n_wave - q_c - 1) + admitted_so_far < max_pages
+        which is crawled_count + qsize at the enqueue moment (:599-600).
+        Runs driver-side over compact metadata of ONE wave's candidates."""
+        meta = (
+            cand_indexed.select("wave_seq", "parent_k", "parent_q")
+            .orderBy("wave_seq")
+            .collect()
+        )
+        admitted: list[int] = []
+        so_far = 0
+        for r in meta:
+            crawled_at_p = crawled + int(r["parent_k"]) + 1
+            remaining_after_p = n_wave - int(r["parent_q"]) - 1
+            if crawled_at_p + remaining_after_p + so_far < self.cfg.max_pages:
+                admitted.append(int(r["wave_seq"]))
+                so_far += 1
+        if not admitted:
+            return cand_indexed.limit(0)
+        adm_df = self.spark.createDataFrame(
+            [(a,) for a in admitted], schema="wave_seq long"
+        )
+        kept = cand_indexed.join(F.broadcast(adm_df), "wave_seq", "left_semi")
+        # re-densify wave_seq so queue positions stay exact for the next wave
+        kept, _ = with_global_index(kept, ["wave_seq"], "_ws")
+        return kept.drop("wave_seq").withColumnRenamed("_ws", "wave_seq")
+
+    # -- outputs ----------------------------------------------------------------
+
+    def _outputs(self, upto_epoch: int) -> dict:
+        spark = self.spark
+        seen = self.store.read_deltas(spark, "seen", upto_epoch)
+        edges = self.store.read_deltas(spark, "edges", upto_epoch)
+        metrics = self.store.read_deltas(spark, "metrics", upto_epoch)
+        dead = self.store.read_deltas(spark, "dead_letter", upto_epoch)
+        empty = spark.createDataFrame([], schema="url string")
+        return {
+            "seen": seen if seen is not None else empty,
+            "edges": edges,
+            "metrics": metrics,
+            "dead_letter": dead,
+            "stats": self.stats,
+        }
+
+    # -- scheduler (priority-frontier) mode --------------------------------------
+
+    def run_scheduler(self, seeds: list[str], resume: bool = False, max_epochs: int = 10_000) -> dict:
+        cfg, spark, store = self.cfg, self.spark, self.store
+        t0 = time.monotonic()
+
+        robots = self.robots
+        delay_expr = (
+            F.coalesce(F.col("crawl_delay"), F.lit(cfg.delay_seconds))
+            if robots is not None
+            else F.lit(cfg.delay_seconds)
+        )
+
+        ckpt = store.read_checkpoint() if resume else None
+        if ckpt is not None:
+            epoch = int(ckpt["epoch"])
+            crawled = int(ckpt["crawled"])
+            seq_counter = int(ckpt["seq"])
+            frontier = store.read_epoch(spark, "frontier_sched", epoch)
+            bloom = store.read_bloom(epoch) if self.use_bloom else None
+        else:
+            epoch = 0
+            crawled = 0
+            seed_rows = [(u, i) for i, u in enumerate(seeds)]
+            df = spark.createDataFrame(seed_rows, schema="url string, arrival_seq long")
+            df = (
+                self._with_keys(df)
+                .withColumn("depth", F.lit(0))
+                .withColumn("priority", F.lit(1))
+                .withColumn("retries", F.lit(0))
+            )
+            df = self._admission_filters(df)
+            frontier = df.select(
+                "url", "url_hash", "xx64", "host", "depth", "priority", "retries", "arrival_seq"
+            )
+            seq_counter = len(seeds)
+            store.write_epoch("frontier_sched", 0, frontier)
+            frontier = store.read_epoch(spark, "frontier_sched", 0)
+            # 'enqueued' admission-dedup state (scheduler mode dedups at admission)
+            store.write_epoch("enqueued", 0, frontier.select("url_hash", "xx64", F.lit(0).alias("epoch")))
+            bloom = np.zeros(self.bloom_bits // 8, dtype=np.uint8) if self.use_bloom else None
+            if bloom is not None:
+                bloom = add_to_bloom(bloom, frontier, "xx64", self.bloom_bits)
+                store.write_bloom(0, bloom)
+            store.commit({"epoch": 0, "crawled": 0, "seq": seq_counter, "mode": "sched"})
+
+        waves: list[list[tuple[str, int]]] = []
+        while crawled < cfg.max_pages and epoch < max_epochs:
+            if frontier.count() == 0:
+                break
+            epoch += 1
+
+            # W2: per-host FIFO-within-priority rank (smart_crawler_queue.py:81-103)
+            wh = Window.partitionBy("host").orderBy("priority", "arrival_seq")
+            ranked = frontier.withColumn("rank", F.row_number().over(wh) - 1)
+
+            # politeness budget per host (logical can_crawl_now, :76-79)
+            if robots is not None:
+                ranked = ranked.join(
+                    F.broadcast(robots.select("host", "crawl_delay")), "host", "left"
+                )
+            budget = F.least(
+                F.lit(cfg.host_budget),
+                F.floor(F.lit(cfg.epoch_seconds) / F.greatest(delay_expr, F.lit(1e-9))).cast("int"),
+            )
+            ranked = ranked.withColumn("_budget", budget)
+            issued = ranked.filter(F.col("rank") < F.col("_budget"))
+            leftover = ranked.filter(F.col("rank") >= F.col("_budget")).select(
+                "url", "url_hash", "xx64", "host", "depth", "priority", "retries", "arrival_seq"
+            )
+
+            # W1: global wave order (priority, host, rank) (:163)
+            issued_idx, n_issued = with_global_index(
+                issued, ["priority", "host", "rank"], "wave_idx"
+            )
+            if n_issued == 0:
+                break
+            remaining = cfg.max_pages - crawled
+            overflow = None
+            if n_issued > remaining:
+                overflow = issued_idx.filter(F.col("wave_idx") >= F.lit(remaining)).select(
+                    "url", "url_hash", "xx64", "host", "depth", "priority", "retries", "arrival_seq"
+                )
+                issued_idx = issued_idx.filter(F.col("wave_idx") < F.lit(remaining))
+
+            crawlable = issued_idx.filter(F.col("depth") < F.lit(cfg.max_depth))
+            ordered, n_crawl = with_global_index(crawlable, ["wave_idx"], "crawl_idx")
+
+            fetched = (
+                ordered.withColumn("crawl_order", F.col("crawl_idx") + F.lit(crawled))
+                .join(self.docs, ordered["url"] == self.docs["doc_id"], "left")
+                .withColumn("status_code", self._status_col())
+            )
+            fetched.persist()
+
+            seen_delta = fetched.select(
+                "url_hash", "url", "xx64", "depth", "crawl_order", "status_code",
+                F.lit(epoch).alias("epoch"),
+            )
+            store.write_epoch("seen", epoch, seen_delta)
+            self._log_metrics(epoch, "crawled", fetched)
+
+            pages = fetched.filter(F.col("status_code") == 200).select(
+                "url", "wave_idx", "depth", "spans"
+            )
+            links = (
+                with_links(pages, doc_col="url")
+                .select(
+                    F.col("url").alias("src"), "wave_idx", "depth",
+                    F.explode("links").alias("l"),
+                )
+                .select(
+                    "src", "wave_idx", "depth",
+                    F.col("l.href").alias("dst"), F.col("l.anchor_text").alias("anchor_text"),
+                    F.col("l.rel").alias("rel"), F.col("l.link_type").alias("link_type"),
+                    F.col("l.pos").alias("pos"), F.col("l.from_tag").alias("from_tag"),
+                )
+            )
+            links.persist()
+
+            we = Window.partitionBy("src", "dst").orderBy("pos")
+            edges_new = (
+                links.withColumn("_rn", F.row_number().over(we))
+                .filter(F.col("_rn") == 1)
+                .select(
+                    "src", "dst", url_host("src").alias("src_host"),
+                    url_host("dst").alias("dst_host"),
+                    "anchor_text", "link_type", "rel", "pos", "depth",
+                    F.lit(epoch).alias("epoch"),
+                )
+            )
+            store.write_epoch("edges", epoch, edges_new)
+
+            # new candidates: admission-dedup vs 'enqueued' state + robots/domain
+            cand = (
+                links.filter(F.col("from_tag") == "a")
+                .select(
+                    F.col("dst").alias("url"), "wave_idx", "pos",
+                    (F.col("depth") + 1).alias("depth"),
+                )
+            )
+            cand = self._with_keys(cand)
+            cand = self._admission_filters(cand)
+            enq = store.read_deltas(spark, "enqueued", epoch - 1)
+            cand = self._not_seen(cand, enq, bloom)
+            # first occurrence within wave (enqueued-set updates sequentially)
+            wq = Window.partitionBy("url_hash").orderBy("wave_idx", "pos")
+            cand = (
+                cand.withColumn("_rn", F.row_number().over(wq))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+                .withColumn("priority", F.least(F.lit(4), F.col("depth") + 1))
+                .withColumn("retries", F.lit(0))
+            )
+
+            # retries: failed fetch with retryable status (W5, :182-192)
+            retry_src = fetched.filter(
+                F.col("status_code").isin(408, 500, 502, 503, 504)
+            )
+            retries_df = retry_src.filter(F.col("retries") < F.lit(cfg.max_retries)).select(
+                "url", "url_hash", "xx64", "host", "depth",
+                F.least(F.lit(4), F.col("priority") + 1).alias("priority"),
+                (F.col("retries") + 1).alias("retries"),
+                "wave_idx", F.lit(-1).alias("pos"),
+            )
+            dead = retry_src.filter(F.col("retries") >= F.lit(cfg.max_retries)).select(
+                "url", "host", "retries",
+                F.col("status_code").alias("last_status"),
+                F.lit(epoch).alias("epoch"),
+            )
+            store.write_epoch("dead_letter", epoch, dead)
+
+            admissions = cand.select(
+                "url", "url_hash", "xx64", "host", "depth", "priority", "retries",
+                "wave_idx", "pos",
+            ).unionByName(retries_df)
+            admissions, n_adm = with_global_index(admissions, ["wave_idx", "pos"], "_seq")
+            self.stats.scheduled += n_adm
+            admissions = admissions.withColumn(
+                "arrival_seq", F.col("_seq") + F.lit(seq_counter)
+            ).select("url", "url_hash", "xx64", "host", "depth", "priority", "retries", "arrival_seq")
+            seq_counter += n_adm
+
+            nxt = leftover.unionByName(admissions)
+            if overflow is not None:
+                nxt = nxt.unionByName(overflow)
+            store.write_epoch("frontier_sched", epoch, nxt)
+            store.write_epoch(
+                "enqueued", epoch,
+                cand.select("url_hash", "xx64").withColumn("epoch", F.lit(epoch)),
+            )
+            if bloom is not None:
+                bloom = add_to_bloom(
+                    bloom,
+                    cand.select("xx64"),
+                    "xx64",
+                    self.bloom_bits,
+                )
+                store.write_bloom(epoch, bloom)
+            self._log_metrics(epoch, "scheduled", nxt)
+
+            crawled += n_crawl
+            store.commit({"epoch": epoch, "crawled": crawled, "seq": seq_counter, "mode": "sched"})
+            self.stats.per_epoch.append(
+                {"epoch": epoch, "issued": n_issued, "crawled": n_crawl, "admitted": n_adm}
+            )
+            wave_rows = (
+                fetched.select("crawl_order", "url", "depth").orderBy("crawl_order").collect()
+            )
+            waves.append([(r["url"], r["depth"]) for r in wave_rows])
+            fetched.unpersist()
+            links.unpersist()
+            unpersist_all()
+            frontier = store.read_epoch(spark, "frontier_sched", epoch)
+
+        self.stats.epochs = epoch
+        self.stats.crawled = crawled
+        self.stats.wall_seconds = time.monotonic() - t0
+        out = self._outputs(epoch)
+        out["waves"] = waves
+        return out
+
+    def _admission_filters(self, df: DataFrame) -> DataFrame:
+        """Domain allowlist (core/models.py:118-121) + robots disallow
+        path-prefix filter (robots_parser semantics; missing row => allow)."""
+        cfg = self.cfg
+        out = df
+        if cfg.allowed_domains:
+            out = out.filter(F.col("host").isin(*sorted(cfg.allowed_domains)))
+        if cfg.respect_robots_txt and self.robots is not None:
+            r = F.broadcast(self.robots.select("host", "disallow"))
+            out = out.join(r, "host", "left")
+            path = F.regexp_extract(F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*(/[^?#]*)", 1)
+            path = F.when(path == "", F.lit("/")).otherwise(path)
+            blocked = F.exists(
+                F.coalesce(F.col("disallow"), F.array()),
+                lambda pref: (F.length(pref) > 0) & path.startswith(pref),
+            )
+            out = out.filter(~blocked).drop("disallow")
+        return out

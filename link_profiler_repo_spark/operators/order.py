@@ -1,0 +1,86 @@
+"""Scalable global dense ordering — zipWithIndex without RDDs.
+
+Assigning a dense 0..n-1 index in a total order normally means a global window
+(`row_number().over(Window.orderBy(...))`) which collapses to ONE partition —
+fine at test scale, fatal at 10^10. This helper keeps it distributed:
+
+  1. range-partition by the order columns (sampled range boundaries),
+  2. sort within partitions,
+  3. count rows per partition (one cheap agg),
+  4. per-partition cumulative offsets broadcast back; a mapInPandas pass
+     assigns offset + running position.
+
+Two passes over the data, no single-partition bottleneck. This is the same
+strategy Spark's own zipWithIndex uses, expressed DataFrame-native so the
+input/output stay columnar Arrow batches.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+# intermediates persisted by with_global_index; callers release them at safe
+# barriers (e.g. the crawl engine at each epoch commit) via unpersist_all()
+_PERSISTED: list[DataFrame] = []
+
+
+def unpersist_all() -> None:
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+
+
+def with_global_index(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "idx",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Dense global index in the total order of `order_cols` (must be a
+    deterministic total order — include a unique tiebreaker column).
+    Returns (indexed_df, total_rows) — the count comes free from pass 1."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = max(2, spark.sparkContext.defaultParallelism)
+
+    sorted_df = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    sorted_df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(sorted_df)
+    counts = dict(
+        (r["_pid"], r["cnt"])
+        for r in sorted_df.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.LongType(), False)])
+    cols = [f.name for f in df.schema.fields]
+
+    def assign(it):
+        # one task == one partition; batches arrive in partition order
+        pos = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = offsets[int(pdf["_pid"].iloc[0])]
+            n = len(pdf)
+            out = pdf[cols].copy()
+            out[out_col] = range(pos, pos + n)
+            pos += n
+            yield out
+
+    result = sorted_df.mapInPandas(assign, schema=out_schema)
+    return result, acc

@@ -1,0 +1,92 @@
+"""Epoch-versioned state tables with atomic checkpoints.
+
+Replaces the reference's Redis frontier persistence
+(queue_system/smart_crawler_queue.py:213-254, at-least-once) with
+snapshot-per-epoch tables + an atomically renamed checkpoint manifest —
+exactly-once resume (SURVEY §4.2).
+
+Layout (an Iceberg-equivalent laid out as plain parquet because the sandbox
+has no Iceberg runtime jar; on a cluster each logical table below maps 1:1 to
+an Iceberg table with `epoch` as a partition/snapshot dimension):
+
+  {root}/{job_id}/
+    frontier/epoch=N/   full snapshot of the live frontier at epoch N
+    seen/epoch=N/       APPEND delta of URLs first crawled in epoch N
+    edges/epoch=N/      append delta of link-graph edges
+    metrics/epoch=N/    per-partition stage counters (lineage, north_rule)
+    dead_letter/epoch=N/
+    bloom_epoch{N}.npy  Bloom sidecar bitmap (prefilter for the seen anti-join)
+    _checkpoint.json    {"epoch": N, "crawled": c, ...} — written tmp+rename
+
+Reading `seen` uses directory-partition discovery so the epoch filter is
+partition-pruned (only deltas <= checkpoint epoch are scanned); periodic
+compaction folds deltas into one (mirrors Iceberg snapshot compaction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+class StateStore:
+    def __init__(self, root: str, job_id: str):
+        self.dir = os.path.join(root, job_id)
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- checkpoint manifest -------------------------------------------------
+    @property
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.dir, "_checkpoint.json")
+
+    def read_checkpoint(self) -> dict | None:
+        if not os.path.exists(self._ckpt_path):
+            return None
+        with open(self._ckpt_path) as f:
+            return json.load(f)
+
+    def commit(self, meta: dict) -> None:
+        """Atomic: the epoch is committed iff the rename completed. A crash
+        mid-epoch leaves the previous manifest intact (resume re-runs the
+        epoch; all writes are per-epoch directories, so re-runs overwrite)."""
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".ckpt.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._ckpt_path)
+
+    # -- tables ---------------------------------------------------------------
+    def _epoch_dir(self, table: str, epoch: int) -> str:
+        return os.path.join(self.dir, table, f"epoch={epoch}")
+
+    def write_epoch(self, table: str, epoch: int, df: DataFrame, mode: str = "overwrite") -> None:
+        # `epoch` lives in the directory name (partition column on read);
+        # drop any data column of the same name to avoid a read-side clash.
+        if "epoch" in df.columns:
+            df = df.drop("epoch")
+        df.write.mode(mode).parquet(self._epoch_dir(table, epoch))
+
+    def read_epoch(self, spark: SparkSession, table: str, epoch: int) -> DataFrame:
+        return spark.read.parquet(self._epoch_dir(table, epoch))
+
+    def read_deltas(self, spark: SparkSession, table: str, upto_epoch: int) -> DataFrame | None:
+        """Union of all epoch deltas <= upto_epoch, partition-pruned."""
+        base = os.path.join(self.dir, table)
+        if not os.path.isdir(base) or not os.listdir(base):
+            return None
+        df = spark.read.option("basePath", base).parquet(base)
+        return df.filter(F.col("epoch") <= upto_epoch)
+
+    # -- bloom sidecar ---------------------------------------------------------
+    def write_bloom(self, epoch: int, bitmap: np.ndarray) -> str:
+        path = os.path.join(self.dir, f"bloom_epoch{epoch}.npy")
+        np.save(path, bitmap)
+        return path
+
+    def read_bloom(self, epoch: int) -> np.ndarray | None:
+        path = os.path.join(self.dir, f"bloom_epoch{epoch}.npy")
+        return np.load(path) if os.path.exists(path) else None

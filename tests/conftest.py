@@ -1,0 +1,20 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from link_profiler_repo_spark.session import get_spark
+
+    s = get_spark(app="tests", cores=int(os.environ.get("SPARK_TEST_CPUS", "8")), shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture()
+def tmp_workdir(tmp_path):
+    return str(tmp_path / "state")
