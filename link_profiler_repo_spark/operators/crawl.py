@@ -71,6 +71,7 @@ class CrawlEngine:
         use_bloom: bool = True,
         bloom_bits: int = 1 << 23,
         canonical_mode: str = "identity",
+        small_wave_threshold: int = 100_000,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -81,6 +82,9 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.bloom_bits = bloom_bits
         self.canonical_mode = canonical_mode
+        # waves below this row count use single-partition ordering + writes
+        # (1 job instead of 3; identical semantics — see order.with_global_index)
+        self.small_wave_threshold = small_wave_threshold
         self.stats = CrawlStats()
 
     # -- shared helpers --------------------------------------------------------
@@ -123,15 +127,22 @@ class CrawlEngine:
             return sure_new.unionByName(maybe)
         return df.join(seen_keys, "url_hash", "left_anti")
 
-    def _log_metrics(self, epoch: int, stage: str, df: DataFrame) -> None:
-        m = (
-            df.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count("*").alias("rows"))
-            .withColumn("epoch", F.lit(epoch))
-            .withColumn("stage", F.lit(stage))
-            .select("epoch", "partition_id", "stage", "rows")
-        )
-        self.store.write_epoch("metrics", epoch, m, mode="append")
+    def _log_metrics(self, epoch: int, stages: list[tuple[str, DataFrame]]) -> None:
+        """Per-partition lineage counters (north_rule): one write per epoch,
+        all stages unioned."""
+        parts = []
+        for stage, df in stages:
+            parts.append(
+                df.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(F.count("*").alias("rows"))
+                .withColumn("epoch", F.lit(epoch))
+                .withColumn("stage", F.lit(stage))
+                .select("epoch", "partition_id", "stage", "rows")
+            )
+        m = parts[0]
+        for x in parts[1:]:
+            m = m.unionByName(x)
+        self.store.write_epoch("metrics", epoch, m, mode="append", coalesce=1)
 
     # -- BFS mode ---------------------------------------------------------------
 
@@ -161,8 +172,8 @@ class CrawlEngine:
                 store.write_bloom(0, bloom)
             store.commit({"epoch": 0, "crawled": 0, "mode": "bfs"})
 
+        n_wave = frontier.count()  # subsequent waves reuse the admitted count
         while crawled < cfg.max_pages:
-            n_wave = frontier.count()
             if n_wave == 0:
                 break
             epoch += 1
@@ -179,7 +190,8 @@ class CrawlEngine:
             )
             elig = self._not_seen(elig, seen, bloom)
 
-            ranked, n_elig = with_global_index(elig, ["wave_seq"], "crawl_idx")
+            small = n_wave < self.small_wave_threshold
+            ranked, n_elig = with_global_index(elig, ["wave_seq"], "crawl_idx", small=small)
             cut = cfg.max_pages - crawled
             n_crawled_wave = min(n_elig, cut)
             if n_elig > cut:
@@ -198,8 +210,7 @@ class CrawlEngine:
                 "url_hash", "url", "xx64", "depth", "crawl_order", "status_code",
                 F.lit(epoch).alias("epoch"),
             )
-            store.write_epoch("seen", epoch, seen_delta)
-            self._log_metrics(epoch, "crawled", fetched)
+            store.write_epoch("seen", epoch, seen_delta, coalesce=1 if small else None)
 
             pages = fetched.filter(F.col("status_code") == 200).select(
                 "url", "wave_seq", "crawl_idx", "depth", "spans"
@@ -239,7 +250,7 @@ class CrawlEngine:
                     F.lit(epoch).alias("epoch"),
                 )
             )
-            store.write_epoch("edges", epoch, edges_new)
+            store.write_epoch("edges", epoch, edges_new, coalesce=1 if small else None)
 
             # children admission (enqueue checks, crawl_service.py:595-601):
             cand = links.filter(F.col("from_tag") == "a").select(
@@ -258,7 +269,7 @@ class CrawlEngine:
                 .drop("_cu", "_ck")
             )
 
-            nxt, n_cand = with_global_index(cand, ["parent_q", "pos"], "wave_seq")
+            nxt, n_cand = with_global_index(cand, ["parent_q", "pos"], "wave_seq", small=small)
             self.stats.scheduled += n_cand
 
             # max_pages admission budget (crawl_service.py:599-600). Fast path:
@@ -269,11 +280,11 @@ class CrawlEngine:
                 nxt = self._sequential_admission(nxt, crawled, n_wave)
 
             nxt = nxt.select(*_FRONTIER_COLS)
-            store.write_epoch("frontier", epoch, nxt)
+            store.write_epoch("frontier", epoch, nxt, coalesce=1 if small else None)
             if bloom is not None:
                 bloom = add_to_bloom(bloom, seen_delta, "xx64", self.bloom_bits)
                 store.write_bloom(epoch, bloom)
-            self._log_metrics(epoch, "scheduled", nxt)
+            self._log_metrics(epoch, [("crawled", fetched), ("scheduled", nxt)])
 
             crawled += n_crawled_wave
             store.commit({"epoch": epoch, "crawled": crawled, "mode": "bfs"})
@@ -284,6 +295,7 @@ class CrawlEngine:
             links.unpersist()
             unpersist_all()
             frontier = store.read_epoch(spark, "frontier", epoch)
+            n_wave = n_cand if bound < cfg.max_pages else frontier.count()
 
         self.stats.epochs = epoch
         self.stats.crawled = crawled
@@ -384,8 +396,10 @@ class CrawlEngine:
 
         waves: list[list[tuple[str, int]]] = []
         while crawled < cfg.max_pages and epoch < max_epochs:
-            if frontier.count() == 0:
+            n_front = frontier.count()
+            if n_front == 0:
                 break
+            small = n_front < self.small_wave_threshold
             epoch += 1
 
             # W2: per-host FIFO-within-priority rank (smart_crawler_queue.py:81-103)
@@ -409,7 +423,7 @@ class CrawlEngine:
 
             # W1: global wave order (priority, host, rank) (:163)
             issued_idx, n_issued = with_global_index(
-                issued, ["priority", "host", "rank"], "wave_idx"
+                issued, ["priority", "host", "rank"], "wave_idx", small=small
             )
             if n_issued == 0:
                 break
@@ -422,7 +436,7 @@ class CrawlEngine:
                 issued_idx = issued_idx.filter(F.col("wave_idx") < F.lit(remaining))
 
             crawlable = issued_idx.filter(F.col("depth") < F.lit(cfg.max_depth))
-            ordered, n_crawl = with_global_index(crawlable, ["wave_idx"], "crawl_idx")
+            ordered, n_crawl = with_global_index(crawlable, ["wave_idx"], "crawl_idx", small=small)
 
             fetched = (
                 ordered.withColumn("crawl_order", F.col("crawl_idx") + F.lit(crawled))
@@ -435,8 +449,7 @@ class CrawlEngine:
                 "url_hash", "url", "xx64", "depth", "crawl_order", "status_code",
                 F.lit(epoch).alias("epoch"),
             )
-            store.write_epoch("seen", epoch, seen_delta)
-            self._log_metrics(epoch, "crawled", fetched)
+            store.write_epoch("seen", epoch, seen_delta, coalesce=1 if small else None)
 
             pages = fetched.filter(F.col("status_code") == 200).select(
                 "url", "wave_idx", "depth", "spans"
@@ -467,7 +480,7 @@ class CrawlEngine:
                     F.lit(epoch).alias("epoch"),
                 )
             )
-            store.write_epoch("edges", epoch, edges_new)
+            store.write_epoch("edges", epoch, edges_new, coalesce=1 if small else None)
 
             # new candidates: admission-dedup vs 'enqueued' state + robots/domain
             cand = (
@@ -506,13 +519,13 @@ class CrawlEngine:
                 F.col("status_code").alias("last_status"),
                 F.lit(epoch).alias("epoch"),
             )
-            store.write_epoch("dead_letter", epoch, dead)
+            store.write_epoch("dead_letter", epoch, dead, coalesce=1 if small else None)
 
             admissions = cand.select(
                 "url", "url_hash", "xx64", "host", "depth", "priority", "retries",
                 "wave_idx", "pos",
             ).unionByName(retries_df)
-            admissions, n_adm = with_global_index(admissions, ["wave_idx", "pos"], "_seq")
+            admissions, n_adm = with_global_index(admissions, ["wave_idx", "pos"], "_seq", small=small)
             self.stats.scheduled += n_adm
             admissions = admissions.withColumn(
                 "arrival_seq", F.col("_seq") + F.lit(seq_counter)
@@ -522,10 +535,11 @@ class CrawlEngine:
             nxt = leftover.unionByName(admissions)
             if overflow is not None:
                 nxt = nxt.unionByName(overflow)
-            store.write_epoch("frontier_sched", epoch, nxt)
+            store.write_epoch("frontier_sched", epoch, nxt, coalesce=1 if small else None)
             store.write_epoch(
                 "enqueued", epoch,
                 cand.select("url_hash", "xx64").withColumn("epoch", F.lit(epoch)),
+                coalesce=1 if small else None,
             )
             if bloom is not None:
                 bloom = add_to_bloom(
@@ -535,7 +549,7 @@ class CrawlEngine:
                     self.bloom_bits,
                 )
                 store.write_bloom(epoch, bloom)
-            self._log_metrics(epoch, "scheduled", nxt)
+            self._log_metrics(epoch, [("crawled", fetched), ("scheduled", nxt)])
 
             crawled += n_crawl
             store.commit({"epoch": epoch, "crawled": crawled, "seq": seq_counter, "mode": "sched"})

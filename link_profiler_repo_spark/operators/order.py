@@ -40,11 +40,27 @@ def with_global_index(
     order_cols: list[str],
     out_col: str = "idx",
     num_partitions: int | None = None,
+    small: bool = False,
 ) -> tuple[DataFrame, int]:
     """Dense global index in the total order of `order_cols` (must be a
     deterministic total order — include a unique tiebreaker column).
-    Returns (indexed_df, total_rows) — the count comes free from pass 1."""
+    Returns (indexed_df, total_rows) — the count comes free from pass 1.
+
+    small=True takes the single-partition window shortcut (1 job instead of 3)
+    — correct at any size but serial; callers flip it when the input is known
+    to be driver-trivial (e.g. a crawl wave far below the shuffle threshold).
+    The default path stays fully distributed for the 10^10 design point."""
     spark = df.sparkSession
+    if small:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*order_cols)
+        out = df.coalesce(1).withColumn(
+            out_col, F.row_number().over(w).cast("long") - 1
+        )
+        out.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED.append(out)
+        return out, out.count()
     if num_partitions is None:
         num_partitions = max(2, spark.sparkContext.defaultParallelism)
 

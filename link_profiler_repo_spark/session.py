@@ -32,6 +32,7 @@ _BASE_CONF = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

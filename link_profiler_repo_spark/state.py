@@ -63,11 +63,16 @@ class StateStore:
     def _epoch_dir(self, table: str, epoch: int) -> str:
         return os.path.join(self.dir, table, f"epoch={epoch}")
 
-    def write_epoch(self, table: str, epoch: int, df: DataFrame, mode: str = "overwrite") -> None:
+    def write_epoch(
+        self, table: str, epoch: int, df: DataFrame, mode: str = "overwrite",
+        coalesce: int | None = None,
+    ) -> None:
         # `epoch` lives in the directory name (partition column on read);
         # drop any data column of the same name to avoid a read-side clash.
         if "epoch" in df.columns:
             df = df.drop("epoch")
+        if coalesce:
+            df = df.coalesce(coalesce)
         df.write.mode(mode).parquet(self._epoch_dir(table, epoch))
 
     def read_epoch(self, spark: SparkSession, table: str, epoch: int) -> DataFrame:
