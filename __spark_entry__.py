@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship — a full BFS frontier crawl over a deterministic
+synthetic interleaved-span corpus (the engine's native input shape,
+BASELINE.json input_hint), returning the crawl-order table.
+
+queries()/oracle_sql(): one entry per implemented operator class from
+SURVEY.md §2 over the harness parquet tables; SQL oracles run in DuckDB.
+Crawl-native operators (exact ordering, MinHash LSH, IVF ANN, media plumbing)
+are rows-only here — their exact oracles are the pytest equality suites.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BFS crawl (ordering-exact mode) over synthetic docs; returns
+    (crawl_order, url, depth). Driver checks rows>0 and a stable schema."""
+    from link_profiler_repo_spark.queries import q_crawl_bfs_order
+
+    return q_crawl_bfs_order(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from link_profiler_repo_spark.queries import ROWS_ONLY_QUERIES, SPARK_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    out.update(SPARK_QUERIES)
+    out.update(ROWS_ONLY_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from link_profiler_repo_spark.queries import SQL_ORACLES
+
+    return dict(SQL_ORACLES)

@@ -1,0 +1,136 @@
+"""Analytics read surface — the reference's API-layer queries re-expressed as
+DataFrame plans over the edges/profiles/events tables.
+
+Each function is a thin declarative plan: Catalyst handles pushdown and join
+strategy; the small dimension side of every join is broadcast."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def link_velocity(edges: DataFrame, ts_col: str = "discovered_at", unit: str = "day") -> DataFrame:
+    """A5 (api/analytics.py:40-66): backlink counts bucketed per time unit."""
+    return (
+        edges.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("bucket"))
+        .agg(F.count("*").alias("backlinks"))
+        .orderBy("bucket")
+    )
+
+
+def link_intersect(edges: DataFrame, primary_host: str, competitor_hosts: list[str]) -> DataFrame:
+    """J4 (services/backlink_service.py:627-653): source hosts linking to the
+    primary AND to each competitor, unioned across competitors.
+
+    Spark shape: one aggregation pass building per-source target-host sets,
+    then array predicates — a single shuffle instead of N self-joins."""
+    targets = [primary_host] + list(competitor_hosts)
+    by_src = (
+        edges.filter(F.col("dst_host").isin(targets))
+        .groupBy("src_host")
+        .agg(F.collect_set("dst_host").alias("linked"))
+    )
+    hits = by_src.filter(
+        F.array_contains("linked", primary_host)
+        & (F.size(F.array_remove("linked", primary_host)) > 0)
+    )
+    return hits.select(
+        "src_host",
+        F.array_sort(F.array_remove("linked", primary_host)).alias("shared_with"),
+    )
+
+
+def domain_value_score(domains: DataFrame, profiles: DataFrame) -> DataFrame:
+    """A12 (services/domain_analyzer_service.py:84-151): rule-based additive
+    score; valuable = score >= 50. Inputs: domains(name, available, authority
+    _score, spam_score, age_days), profiles keyed by target host.
+
+    Weights are the reference's: availability+20, authority>=20 => +30,
+    spam<=30 => +25, age>=365d => +15, dofollow>=5 => +40, unique/total
+    ratio>2.5... (the reference compares unique_referring_domains >
+    total_backlinks*0.25 variant) => +10, no profile => -20."""
+    p = profiles.select(
+        F.col("target_url").alias("_purl"),
+        "total_backlinks", "dofollow_backlinks", "unique_referring_domains",
+    )
+    j = domains.join(F.broadcast(p), domains["name"] == p["_purl"], "left")
+    score = (
+        F.when(F.col("available"), 20).otherwise(0)
+        + F.when(F.col("authority_score") >= 20, 30).otherwise(0)
+        + F.when(F.col("spam_score") <= 30, 25).otherwise(0)
+        + F.when(F.col("age_days") >= 365, 15).otherwise(0)
+        + F.when(F.coalesce(F.col("dofollow_backlinks"), F.lit(0)) >= 5, 40).otherwise(0)
+        + F.when(
+            F.coalesce(F.col("unique_referring_domains"), F.lit(0))
+            > F.coalesce(F.col("total_backlinks"), F.lit(0)) * 0.25,
+            10,
+        ).otherwise(0)
+        + F.when(F.col("_purl").isNull(), -20).otherwise(0)
+    )
+    return j.select(
+        "name",
+        score.alias("value_score"),
+        (score >= 50).alias("valuable"),
+    )
+
+
+def queue_stats(frontier: DataFrame) -> DataFrame:
+    """A6 (smart_crawler_queue.py:256-274): global queue stats."""
+    return frontier.agg(
+        F.count("*").alias("queued_tasks"),
+        F.approx_count_distinct("host").alias("unique_domains"),
+        F.min("depth").alias("min_depth"),
+        F.max("depth").alias("max_depth"),
+    )
+
+
+def per_host_queue_breakdown(frontier: DataFrame) -> DataFrame:
+    return frontier.groupBy("host").agg(
+        F.count("*").alias("queued"),
+        F.min("priority").alias("best_priority"),
+    )
+
+
+def host_success_rate(fetch_log: DataFrame, window_rows: int = 20) -> DataFrame:
+    """A9 (utils/adaptive_rate_limiter.py:134-137): trailing-N success ratio
+    per host over the fetch log (host, ts, status_code)."""
+    w = (
+        Window.partitionBy("host")
+        .orderBy("ts")
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    return fetch_log.withColumn(
+        "success_rate",
+        F.avg(F.when(F.col("status_code") < 400, 1.0).otherwise(0.0)).over(w),
+    )
+
+
+def response_percentiles(fetch_log: DataFrame, col: str = "elapsed_ms") -> DataFrame:
+    """A8 (crawler_metrics.py / adaptive_rate_limiter.py:129-131)."""
+    return fetch_log.groupBy("host").agg(
+        F.percentile_approx(col, 0.5).alias("p50"),
+        F.percentile_approx(col, 0.95).alias("p95"),
+        F.avg(col).alias("mean"),
+    )
+
+
+def seo_score(pages: DataFrame) -> DataFrame:
+    """A11 (core/models.py:191-242): fixed-weight page score, normalized 0-100.
+    Expects boolean/metric columns; weights follow the reference's
+    calculate_seo_score: title 15, meta_desc 10, h1 10, mobile 15, perf(score
+    /100*20) 20, https 10, broken-links -10, images-alt 10, structured 10."""
+    score = (
+        F.when(F.col("has_title"), 15).otherwise(0)
+        + F.when(F.col("has_meta_description"), 10).otherwise(0)
+        + F.when(F.col("has_h1"), 10).otherwise(0)
+        + F.when(F.col("mobile_friendly"), 15).otherwise(0)
+        + F.coalesce(F.col("performance_score"), F.lit(0.0)) / 100.0 * 20
+        + F.when(F.col("https"), 10).otherwise(0)
+        + F.when(F.col("broken_links") > 0, -10).otherwise(0)
+        + F.when(F.col("images_missing_alt") == 0, 10).otherwise(0)
+        + F.when(F.col("has_structured_data"), 10).otherwise(0)
+    )
+    return pages.withColumn(
+        "seo_score", F.greatest(F.lit(0.0), F.least(F.lit(100.0), score))
+    )

@@ -1,0 +1,238 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are built to the same scaling recipe: compute a compact signature
+per document (Catalyst expressions or one Arrow-batched pass), shuffle ONLY on
+the signature/bucket key (never on raw text), and resolve candidate groups
+with keyed aggregations. Nothing here collects to the driver.
+
+- exact_dedup:        sha2/md5(text) group-by; keeps min(id) per group.
+- minhash_lsh_dup:    word-shingle MinHash (vectorized numpy over Arrow
+                      batches) -> band buckets -> candidate pairs via
+                      self-join on (band, bucket-hash) -> exact-Jaccard-free
+                      confirmation by signature similarity.
+- simhash_dup:        64-bit SimHash over word hashes; duplicates = identical
+                      simhash (Hamming-0; banded variant for Hamming<=k).
+- ngram_jaccard_pairs: exact n-gram Jaccard for candidate pairs within a
+                      blocking key (for oracle-checkable small blocks).
+- embedding_near_dup: cosine near-duplicates over an embedding column,
+                      LSH-bucketed by random hyperplanes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+# deterministic 64-bit mix (same constants as functions/bloom.py)
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash; emits one keeper (min id) per
+    group plus the duplicate count. One shuffle on the 32-byte hash."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_docs"))
+    )
+
+
+def _tokenize(text: pd.Series) -> pd.Series:
+    return text.str.lower().str.findall(r"[a-z0-9]+")
+
+
+def _hash_tokens(tokens: list[str], seed: np.uint64) -> np.ndarray:
+    """FNV-1a-style rolling hash per token, vectorized via python hash of
+    interned strings is non-deterministic across runs — so use a stable
+    polynomial hash computed in numpy over byte arrays."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash function
+        for i, t in enumerate(tokens):
+            h = np.uint64(1469598103934665603) ^ seed
+            for b in t.encode():
+                h = (h ^ np.uint64(b)) * np.uint64(1099511628211)
+            out[i] = h
+    return out
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_sig_udf(text: pd.Series) -> pd.Series:
+    """128-perm MinHash over 3-word shingles. One permutation family via
+    (a*h+b) mod p with vectorized numpy; per-doc python is limited to token
+    hashing (string work), all minima vectorized."""
+    n_perm = 128
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, 1 << 61, n_perm, dtype=np.uint64)
+    b = rng.integers(0, 1 << 61, n_perm, dtype=np.uint64)
+    out = []
+    for toks in _tokenize(text.fillna("")):
+        if len(toks) < 3:
+            shingle_hashes = _hash_tokens([" ".join(toks)] if toks else [""], np.uint64(7))
+        else:
+            joined = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+            shingle_hashes = _hash_tokens(joined, np.uint64(7))
+        # (n_shingles, 1) * (n_perm,) -> min over shingles, all numpy
+        with np.errstate(over="ignore"):
+            m = (shingle_hashes[:, None] * a[None, :] + b[None, :]).min(axis=0)
+        out.append((m >> np.uint64(1)).astype(np.int64).tolist())  # fit in long
+    return pd.Series(out, index=text.index, dtype=object)
+
+
+def minhash_lsh_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 32,
+    rows_per_band: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate PAIRS via MinHash+LSH. Shuffles on (band, band-hash)
+    buckets only; candidate pairs are confirmed by estimated Jaccard
+    (signature agreement rate) >= threshold. Returns (a, b, est_jaccard)."""
+    sig = df.select(
+        F.col(id_col).alias("_id"), minhash_sig_udf(F.col(text_col)).alias("sig")
+    )
+    sig.persist()
+    bands_df = sig.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = bands_df.alias("l")
+    right = bands_df.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("_id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("_id").alias("b"), F.col("sig").alias("sig_b"))
+    # estimated Jaccard = signature agreement rate (mean of per-perm equality)
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, F.lit(1.0)).otherwise(F.lit(0.0))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / F.size("sig_a")
+    est = (
+        cand.join(sa, "a").join(sb, "b")
+        .withColumn("est_jaccard", agree)
+        .drop("sig_a", "sig_b")
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select("a", "b", "est_jaccard")
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over word hashes (document fingerprinting)."""
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, toks in enumerate(_tokenize(text.fillna(""))):
+        if not toks:
+            continue
+        hs = _hash_tokens(toks, np.uint64(11))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        v = np.where(bits.sum(axis=0) * 2 >= len(hs), 1, 0).astype(np.uint64)
+        out[i] = int.from_bytes(
+            np.packbits(v.astype(np.uint8)).tobytes(), "big", signed=False
+        ) - (1 << 63)  # shift into signed-long range deterministically
+    return pd.Series(out, index=text.index)
+
+
+def simhash_dup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups with identical 64-bit SimHash (Hamming distance 0).
+    For Hamming<=k, band the hash into k+1 chunks and union candidate joins
+    (same pattern as MinHash bands)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for pairs sharing a blocking key. Pure
+    Catalyst (no UDF): ngrams via split+transform, set ops via array functions.
+    Blocking keeps the self-join quadratic only within blocks."""
+    words = F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9 ]", " ")), r"\s+")
+    words = F.filter(words, lambda w: F.length(w) > 0)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    block = F.col(block_col) if block_col else F.lit(1)
+    g = df.select(F.col(id_col).alias("_id"), block.alias("_blk"), grams.alias("grams"))
+    a = g.alias("a")
+    b = g.alias("b")
+    pairs = a.join(
+        b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return pairs.select(
+        F.col("a._id").alias("a"), F.col("b._id").alias("b"), jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, LSH-bucketed by random
+    hyperplane signs so the self-join is per-bucket, not all-pairs."""
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+    @F.pandas_udf(T.LongType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        signs = (m @ planes.T) > 0
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.Series(signs @ weights, index=vecs.index)
+
+    with_b = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("v"),
+        bucket_udf(F.col(vec_col)).alias("bucket"),
+    )
+    a = with_b.alias("a")
+    b = with_b.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (norm("a") * norm("b"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("a"), F.col("b._id").alias("b"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

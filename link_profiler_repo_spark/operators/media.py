@@ -1,0 +1,104 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns with
+typed metadata, processed by Arrow-batched UDFs over mapInPandas.
+
+The DECODE step is stubbed (no image/audio libraries in this container —
+deterministic fake features behind decode_stub / NotImplementedError for real
+codecs), but the Spark-side machinery is real and tested: schema, batch
+iteration, partition sizing, and the UDF signatures match what a libvips/
+ffmpeg-backed implementation would use.
+
+Reference analog: media spans / images_found (core/models.py:390,
+crawlers/content_parser.py:62-67) — extended to the training-data use case.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),  # opaque encoded bytes
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def media_table_from_docs(docs: DataFrame) -> DataFrame:
+    """Explode media spans into a media table with a deterministic synthetic
+    payload (sha256 of the ref, repeated) standing in for encoded bytes."""
+    refs = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.filter("spans", lambda s: s["kind"] == F.lit("media"))
+        ).alias("s"),
+    ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    return refs.select(
+        "doc_id",
+        "media_ref",
+        F.lit("image").alias("media_type"),
+        F.sha2(F.col("media_ref"), 256).cast("binary").alias("payload"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
+def decode_stub(payload: bytes) -> np.ndarray:
+    """Deterministic fake decode: bytes -> pseudo-pixel array. A real build
+    replaces this body with PIL/libvips; everything around it stays put."""
+    if payload is None:
+        raise NotImplementedError("real decode requires an image library")
+    h = hashlib.sha256(payload).digest()
+    return np.frombuffer((h * ((FEATURE_DIM // len(h)) + 1))[:FEATURE_DIM], dtype=np.uint8)
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """mapInPandas feature extraction: the canonical multimodal operator shape.
+    Batches stream through the worker (never materializing a partition),
+    output is a fixed-dim float feature vector column."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType(), False),
+            T.StructField("features", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            feats = [
+                (decode_stub(p).astype(np.float32) / 255.0).tolist()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"media_ref": pdf["media_ref"], "features": feats})
+
+    return media.select("media_ref", "payload").mapInPandas(run, schema=out_schema)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize = metadata rewrite + (stubbed) payload transform; partitioning
+    and schema identical to a real implementation."""
+    return media.withColumn("width", F.lit(width)).withColumn("height", F.lit(height))
+
+
+def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling shape: one row per sampled frame (posexplode over
+    a computed frame index sequence); decode stubbed."""
+    frames = F.sequence(
+        F.lit(0),
+        F.greatest((F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("int") - 1, F.lit(0)),
+    )
+    return media.filter(F.col("media_type") == "video").select(
+        "media_ref", F.posexplode(frames).alias("frame_idx", "_"),
+    ).drop("_")

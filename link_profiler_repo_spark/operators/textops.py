@@ -1,0 +1,84 @@
+"""Text-analysis operators over a documents table — the reference's content
+quality/NLP surface (utils/content_validator.py:39-230; A10 in SURVEY §2.4),
+generalized into training-data-pipeline primitives.
+
+Everything here is pure Catalyst (regexp/split/aggregate expressions inside
+whole-stage codegen) — no Python in the hot path — and every operator is
+deliberately SQL-expressible so the DuckDB oracle can verify it exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# small stopword list shared with the oracle SQL (language-ID heuristic)
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+
+def _words(text: Column) -> Column:
+    w = F.split(F.lower(F.regexp_replace(text, r"[^a-zA-Z0-9']+", " ")), r"\s+")
+    return F.filter(w, lambda x: F.length(x) > 0)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (content_validator word_count analog)."""
+    return F.size(_words(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: alnum runs + punctuation marks counted
+    separately (a deterministic, regex-only stand-in for BPE length)."""
+    alnum_runs = F.size(F.filter(F.split(text, r"[^a-zA-Z0-9]+"), lambda x: F.length(x) > 0))
+    puncts = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    return alnum_runs + puncts
+
+
+def punct_ratio(text: Column) -> Column:
+    p = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    return p.cast("double") / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column) -> Column:
+    w = _words(text)
+    sw = F.size(F.filter(w, lambda x: x.isin(*EN_STOPWORDS)))
+    return sw.cast("double") / F.greatest(F.size(w), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]: length band + moderate punct
+    + stopword presence (content_validator.py:103-230 spirit: word-count and
+    readability bands)."""
+    n = token_count(text)
+    length_ok = F.when((n >= 20) & (n <= 2000), 0.4).when(n >= 5, 0.2).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) <= 0.2, 0.3).otherwise(0.1)
+    sw_ok = F.when(stopword_ratio(text) >= 0.05, 0.3).otherwise(0.1)
+    return (length_ok + punct_ok + sw_ok).cast("double")
+
+
+def lang_id(text: Column) -> Column:
+    """Tiny n-gram-free language ID: English if stopword ratio clears a bar,
+    else 'unk'. (A real pipeline swaps in fasttext via mapInPandas; the
+    Spark-side shape — one scan, one derived column — is identical.)"""
+    return F.when(stopword_ratio(text) >= 0.03, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Stable document fingerprint: md5 of the normalized word sequence
+    (whitespace/case-insensitive content identity)."""
+    return F.md5(F.concat_ws(" ", _words(text)))
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One scan, all derived metrics as plain columns."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subtokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )

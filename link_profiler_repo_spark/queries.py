@@ -1,0 +1,564 @@
+"""Driver-gate query surface: every implemented operator class exposed as a
+(spark_fn, oracle_sql) pair over the harness parquet tables
+(region nation customer supplier part orders lineitem events documents
+embeddings — TESTDATA.md).
+
+Column names are aliased IDENTICALLY in the DataFrame plan and the SQL string
+(the driver's compare hashes values under sorted column names). Float outputs
+are rounded in BOTH engines before comparison/ranking so accumulation-order
+noise cannot flip hashes or rank ties.
+
+Crawl-specific operators (BFS ordering, link profiles over crawled edges,
+MinHash LSH pairs, IVF ANN) are registered without oracle SQL — the driver
+records rows-only checks; their exact oracles are the pytest equality suites
+(tests/test_frontier_oracle.py etc.).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .operators import textops
+from .operators.similarity import brute_force_topk
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# A1/A3-class: grouped rollup with conditional aggregates (LinkProfile shape,
+# core/models.py:449-491) on orders
+# ---------------------------------------------------------------------------
+
+def q_profile_rollup(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("total_orders"),
+        F.count_distinct("o_orderstatus").alias("n_statuses"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("urgent_cnt"),
+        F.sum(F.when(F.col("o_orderpriority") == "2-HIGH", 1).otherwise(0)).alias("high_cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )
+
+
+SQL_PROFILE_ROLLUP = """
+SELECT o_custkey AS custkey,
+       COUNT(*) AS total_orders,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses,
+       SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent_cnt,
+       SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high_cnt,
+       ROUND(SUM(o_totalprice), 2) AS total_spend
+FROM orders GROUP BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# A2/W6-class: top-k per group via windowed rank (top-10 anchors shape)
+# ---------------------------------------------------------------------------
+
+def q_topk_per_group(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"), "rank")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT p_brand, p_partkey, ROUND(p_retailprice, 2) AS price, rank FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rank
+  FROM part) t
+WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# A5-class: link velocity = time-bucketed counts (api/analytics.py:40-66)
+# ---------------------------------------------------------------------------
+
+def q_velocity(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.to_date(F.col("ts")).alias("day"),
+            F.col("event_type"),
+        ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+SQL_VELOCITY = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# A9-class: rolling success rate (adaptive_rate_limiter.py:134-137)
+# ---------------------------------------------------------------------------
+
+def q_rolling_error_rate(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-19, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.avg(F.when(F.col("event_type") == "error", 1.0).otherwise(0.0)).over(w), 6
+        ).alias("err_rate_20"),
+    )
+
+
+SQL_ROLLING_ERROR_RATE = """
+SELECT event_id, user_id,
+       ROUND(AVG(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS err_rate_20
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# A8-class: exact percentiles + histogram buckets
+# ---------------------------------------------------------------------------
+
+def q_percentiles(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(AVG(value), 6) AS mean_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_histogram(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / 10).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_HISTOGRAM = """
+SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# J4/U1-class: intersect; U3-class: except (set operators)
+# ---------------------------------------------------------------------------
+
+def q_intersect(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+SQL_INTERSECT = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_except(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    errs = e.filter(F.col("event_type") == "error").select("user_id")
+    return clicks.distinct().subtract(errs.distinct())
+
+
+SQL_EXCEPT = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3-class: broadcast enrichment join chain (backlink ⋈ domain metrics shape)
+# ---------------------------------------------------------------------------
+
+def q_enrich_join(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_ENRICH_JOIN = """
+SELECT n_name AS nation,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 (heavy multi-agg scan; partial/final hash agg)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# A12-class: rule-based additive scoring (domain_analyzer_service.py:84-151)
+# rendered over customer + order rollup
+# ---------------------------------------------------------------------------
+
+def q_value_score(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    prof = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+    )
+    j = c.join(prof, c["c_custkey"] == prof["o_custkey"], "left")
+    score = (
+        F.when(F.col("c_acctbal") >= 0, 20).otherwise(0)
+        + F.when(F.col("c_acctbal") >= 5000, 30).otherwise(0)
+        + F.when(F.coalesce(F.col("n_orders"), F.lit(0)) >= 5, 40).otherwise(0)
+        + F.when(F.coalesce(F.col("n_finished"), F.lit(0)) >= 2, 10).otherwise(0)
+        + F.when(F.col("o_custkey").isNull(), -20).otherwise(0)
+    )
+    return j.select(
+        F.col("c_custkey").alias("custkey"),
+        score.cast("int").alias("value_score"),
+        (score >= 50).alias("valuable"),
+    )
+
+
+SQL_VALUE_SCORE = """
+WITH prof AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey AS custkey,
+       CAST((CASE WHEN c_acctbal >= 0 THEN 20 ELSE 0 END)
+          + (CASE WHEN c_acctbal >= 5000 THEN 30 ELSE 0 END)
+          + (CASE WHEN COALESCE(n_orders, 0) >= 5 THEN 40 ELSE 0 END)
+          + (CASE WHEN COALESCE(n_finished, 0) >= 2 THEN 10 ELSE 0 END)
+          + (CASE WHEN o_custkey IS NULL THEN -20 ELSE 0 END) AS INT) AS value_score,
+       ((CASE WHEN c_acctbal >= 0 THEN 20 ELSE 0 END)
+          + (CASE WHEN c_acctbal >= 5000 THEN 30 ELSE 0 END)
+          + (CASE WHEN COALESCE(n_orders, 0) >= 5 THEN 40 ELSE 0 END)
+          + (CASE WHEN COALESCE(n_finished, 0) >= 2 THEN 10 ELSE 0 END)
+          + (CASE WHEN o_custkey IS NULL THEN -20 ELSE 0 END)) >= 50 AS valuable
+FROM customer LEFT JOIN prof ON c_custkey = o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family: exact content-hash dedup (md5 available in both engines)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_docs"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counts / ratios / quality / lang-id / fingerprint
+# ---------------------------------------------------------------------------
+
+def q_text_profile(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return textops.text_profile(d, text_col="text", id_col="doc_id")
+
+
+_SW = ", ".join(f"'{w}'" for w in textops.EN_STOPWORDS)
+
+SQL_TEXT_PROFILE = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')), '\\s+'),
+                     x -> length(x) > 0) AS words
+  FROM documents
+), m AS (
+  SELECT doc_id, text, words,
+         len(words) AS n_tokens,
+         len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0))
+           + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_subtokens,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+           / GREATEST(length(text), 1) AS praw,
+         len(list_filter(words, x -> x IN ({_SW})))::DOUBLE
+           / GREATEST(len(words), 1) AS sraw
+  FROM w
+)
+SELECT doc_id, n_tokens, n_subtokens,
+       ROUND(praw, 6) AS punct_ratio,
+       ROUND(sraw, 6) AS stopword_ratio,
+       ROUND(CAST((CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 0.4
+                   WHEN n_tokens >= 5 THEN 0.2 ELSE 0.0 END)
+           + (CASE WHEN praw <= 0.2 THEN 0.3 ELSE 0.1 END)
+           + (CASE WHEN sraw >= 0.05 THEN 0.3 ELSE 0.1 END) AS DOUBLE), 6) AS quality,
+       CASE WHEN sraw >= 0.03 THEN 'en' ELSE 'unk' END AS lang_pred,
+       md5(array_to_string(words, ' ')) AS fingerprint
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity: brute-force cosine top-k (queries = vec_id < 5)
+# ---------------------------------------------------------------------------
+
+def q_similarity_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = brute_force_topk(
+        e.filter(F.col("vec_id") >= 5), qs, k=10,
+        vec_col="embedding", id_col="vec_id",
+    )
+    # round BEFORE hashing so accumulation-order noise can't flip values;
+    # ranks are recomputed on rounded cosine for cross-engine stability
+    w = Window.partitionBy("q_id").orderBy(F.desc(F.round("cosine", 6)), F.asc("vec_id"))
+    return (
+        out.withColumn("cosine_r", F.round("cosine", 6))
+        .withColumn("rank2", F.row_number().over(w))
+        .select("q_id", "vec_id", F.col("cosine_r").alias("cosine"), F.col("rank2").alias("rank"))
+    )
+
+
+SQL_SIMILARITY_TOPK = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.q_id, v.vec_id,
+         list_sum(list_transform(list_zip(q.q_vec, v.embedding),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / ( sqrt(list_sum(list_transform(q.q_vec,    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )
+         AS cos
+  FROM q CROSS JOIN v
+), ranked AS (
+  SELECT q_id, vec_id, ROUND(cos, 6) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cos, 6) DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (guide OLAP pattern; reference RPS-window analog)
+# ---------------------------------------------------------------------------
+
+def q_sessionization(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        e.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(
+            F.count_distinct("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL_SESSIONIZATION = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, event_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+SQL_ORACLES: dict[str, str] = {
+    "profile_rollup": SQL_PROFILE_ROLLUP,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "link_velocity": SQL_VELOCITY,
+    "rolling_error_rate": SQL_ROLLING_ERROR_RATE,
+    "percentiles": SQL_PERCENTILES,
+    "histogram": SQL_HISTOGRAM,
+    "intersect_users": SQL_INTERSECT,
+    "except_users": SQL_EXCEPT,
+    "enrich_join": SQL_ENRICH_JOIN,
+    "tpch_q1": SQL_TPCH_Q1,
+    "value_score": SQL_VALUE_SCORE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "text_profile": SQL_TEXT_PROFILE,
+    "similarity_topk": SQL_SIMILARITY_TOPK,
+    "sessionization": SQL_SESSIONIZATION,
+}
+
+SPARK_QUERIES = {
+    "profile_rollup": q_profile_rollup,
+    "topk_per_group": q_topk_per_group,
+    "link_velocity": q_velocity,
+    "rolling_error_rate": q_rolling_error_rate,
+    "percentiles": q_percentiles,
+    "histogram": q_histogram,
+    "intersect_users": q_intersect,
+    "except_users": q_except,
+    "enrich_join": q_enrich_join,
+    "tpch_q1": q_tpch_q1,
+    "value_score": q_value_score,
+    "dedup_exact": q_dedup_exact,
+    "text_profile": q_text_profile,
+    "similarity_topk": q_similarity_topk,
+    "sessionization": q_sessionization,
+}
+
+
+# -- crawl-native queries (rows-only driver check; exact oracles in pytest) --
+
+def _crawl_outputs(spark, n_docs=80, n_hosts=6, max_depth=3, max_pages=60):
+    from .config import CrawlConfig
+    from .operators.crawl import CrawlEngine
+    from .synth import SynthParams, default_seeds, synth_docs_spark
+
+    p = SynthParams(n_docs=n_docs, n_hosts=n_hosts)
+    cfg = CrawlConfig(max_depth=max_depth, max_pages=max_pages)
+    docs_df = synth_docs_spark(spark, p).persist()
+    eng = CrawlEngine(
+        spark, cfg, docs_df, tempfile.mkdtemp(prefix="sparkfrontier_"),
+        synth_params=p, use_bloom=False,
+    )
+    out = eng.run_bfs([u for _, u, _ in default_seeds(p, 2)])
+    return out
+
+
+def q_crawl_bfs_order(spark, sf_dir):
+    out = _crawl_outputs(spark)
+    return out["seen"].select("crawl_order", "url", "depth").orderBy("crawl_order")
+
+
+def q_crawl_link_profile(spark, sf_dir):
+    from .operators.profile import full_link_profile
+
+    out = _crawl_outputs(spark)
+    return full_link_profile(out["edges"]).orderBy("target_url")
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from .operators.dedup import minhash_lsh_dup
+
+    d = load(spark, sf_dir, "documents").limit(2000)
+    return minhash_lsh_dup(d, threshold=0.5)
+
+
+def q_ivf_topk(spark, sf_dir):
+    from .operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(e.filter(F.col("vec_id") >= 5), qs, k=10)
+
+
+def q_media_features(spark, sf_dir):
+    from .operators.media import extract_features, media_table_from_docs
+    from .synth import SynthParams, synth_docs_spark
+
+    docs = synth_docs_spark(spark, SynthParams(n_docs=40, n_hosts=4))
+    return extract_features(media_table_from_docs(docs))
+
+
+ROWS_ONLY_QUERIES = {
+    "crawl_bfs_order": q_crawl_bfs_order,
+    "crawl_link_profile": q_crawl_link_profile,
+    "minhash_near_dup": q_minhash_pairs,
+    "ivf_ann_topk": q_ivf_topk,
+    "media_features": q_media_features,
+}

