@@ -45,6 +45,7 @@ from ..functions.extract import with_links
 from ..functions.urls import canonicalize, url_host, url_sha256
 from ..state import StateStore
 from ..synth import SynthParams
+from .frontier import per_host_topk
 from .order import unpersist_all, with_global_index
 
 _FRONTIER_COLS = ["url", "url_hash", "xx64", "host", "depth", "wave_seq"]
@@ -402,22 +403,22 @@ class CrawlEngine:
             small = n_front < self.small_wave_threshold
             epoch += 1
 
-            # W2: per-host FIFO-within-priority rank (smart_crawler_queue.py:81-103)
-            wh = Window.partitionBy("host").orderBy("priority", "arrival_seq")
-            ranked = frontier.withColumn("rank", F.row_number().over(wh) - 1)
-
-            # politeness budget per host (logical can_crawl_now, :76-79)
+            # W2+W3: politeness-budget wave via salted per-host top-k
+            # (skew-safe; identical result to the naive host window)
+            base = frontier
             if robots is not None:
-                ranked = ranked.join(
+                base = base.join(
                     F.broadcast(robots.select("host", "crawl_delay")), "host", "left"
                 )
             budget = F.least(
                 F.lit(cfg.host_budget),
                 F.floor(F.lit(cfg.epoch_seconds) / F.greatest(delay_expr, F.lit(1e-9))).cast("int"),
             )
-            ranked = ranked.withColumn("_budget", budget)
-            issued = ranked.filter(F.col("rank") < F.col("_budget"))
-            leftover = ranked.filter(F.col("rank") >= F.col("_budget")).select(
+            base = base.withColumn("_budget", budget)
+            issued = per_host_topk(base, F.col("_budget")).drop("_budget", "crawl_delay")
+            leftover = frontier.join(
+                issued.select("arrival_seq"), "arrival_seq", "left_anti"
+            ).select(
                 "url", "url_hash", "xx64", "host", "depth", "priority", "retries", "arrival_seq"
             )
 

@@ -122,7 +122,7 @@ def test_bfs_variants_match_oracle(spark, docs_df, tmp_workdir, cfg, n_seeds):
 @pytest.fixture(scope="module")
 def sched_run(spark, docs_df):
     cfg = CrawlConfig(
-        job_id="sched", max_depth=3, max_pages=200, host_budget=2,
+        job_id="sched", max_depth=3, max_pages=60, host_budget=2,
         epoch_seconds=2.0, max_retries=1,
     )
     docs, seeds = build_fixture(P, n_seeds=4)
