@@ -1,0 +1,100 @@
+"""Text-analysis, multimodal plumbing, and streaming operator tests."""
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from link_profiler_repo_spark.operators.media import (
+    FEATURE_DIM,
+    extract_features,
+    frame_sample_stub,
+    media_table_from_docs,
+)
+from link_profiler_repo_spark.operators.textops import text_profile
+from link_profiler_repo_spark.streaming.stream import host_state_batch, run_metrics_stream_once
+from link_profiler_repo_spark.synth import SynthParams, synth_docs_spark
+
+
+def test_text_profile_golden(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox is in the barn"),
+            (2, "xyzzy!!! ??? ###"),
+            (3, None),
+        ],
+        schema="doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_profile(df).collect()}
+    assert rows[1]["n_tokens"] == 8
+    assert rows[1]["lang_pred"] == "en"  # 'the','is','in','the' stopwords
+    assert rows[1]["punct_ratio"] == 0.0
+    assert rows[2]["lang_pred"] == "unk"
+    assert rows[2]["punct_ratio"] > 0.3
+    assert rows[1]["quality"] > rows[2]["quality"]
+    # fingerprint is whitespace/case-normalized content identity
+    df2 = spark.createDataFrame(
+        [(1, "THE  quick   Brown fox IS in the barn")], schema="doc_id long, text string"
+    )
+    fp2 = text_profile(df2).collect()[0]["fingerprint"]
+    assert fp2 == rows[1]["fingerprint"]
+
+
+def test_media_pipeline(spark):
+    docs = synth_docs_spark(spark, SynthParams(n_docs=30, n_hosts=3))
+    media = media_table_from_docs(docs)
+    n_media = media.count()
+    assert n_media > 0
+    feats = extract_features(media).collect()
+    assert len(feats) == n_media
+    assert all(len(r["features"]) == FEATURE_DIM for r in feats)
+    # deterministic: same ref -> same features
+    by_ref = {}
+    for r in feats:
+        if r["media_ref"] in by_ref:
+            assert by_ref[r["media_ref"]] == r["features"]
+        by_ref[r["media_ref"]] = r["features"]
+
+
+def test_frame_sample_shape(spark):
+    media = spark.createDataFrame(
+        [("v1", "video", 3500), ("i1", "image", None)],
+        schema="media_ref string, media_type string, duration_ms int",
+    )
+    rows = frame_sample_stub(media, every_ms=1000).collect()
+    refs = {r["media_ref"] for r in rows}
+    assert refs == {"v1"}
+    assert {r["frame_idx"] for r in rows} == {0, 1, 2}
+
+
+def test_metrics_stream(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:30", "fetch", 1.0),
+            ("2024-01-01 00:00:45", "fetch", 3.0),
+            ("2024-01-01 00:02:10", "dedup", 2.0),
+        ],
+        schema="ts string, event_type string, value double",
+    ).select(F.to_timestamp("ts").alias("ts"), "event_type", "value")
+    path = str(tmp_path / "events")
+    src.write.parquet(path)
+    rows = run_metrics_stream_once(spark, path, schema, query_name="m_out", window="1 minute", slide="1 minute")
+    got = {(str(r["window_start"]), r["event_type"]): r["n"] for r in rows}
+    assert got[("2024-01-01 00:00:00", "fetch")] == 2
+    assert got[("2024-01-01 00:02:00", "dedup")] == 1
+
+
+def test_host_state_circuit_breaker(spark):
+    log = spark.createDataFrame(
+        [("h1", s) for s in [500, 500, 500, 500, 500, 200]]
+        + [("h2", s) for s in [200, 200, 404]],
+        schema="host string, status_code int",
+    )
+    states = {r["host"]: (r["failures"], r["cb_state"]) for r in host_state_batch(log).collect()}
+    assert states["h1"] == (5, "open")
+    assert states["h2"] == (1, "closed")
