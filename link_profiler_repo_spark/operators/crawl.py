@@ -581,13 +581,11 @@ class CrawlEngine:
         if cfg.allowed_domains:
             out = out.filter(F.col("host").isin(*sorted(cfg.allowed_domains)))
         if cfg.respect_robots_txt and self.robots is not None:
+            from ..functions.robots import disallowed_catalyst
+
             r = F.broadcast(self.robots.select("host", "disallow"))
             out = out.join(r, "host", "left")
-            path = F.regexp_extract(F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*(/[^?#]*)", 1)
-            path = F.when(path == "", F.lit("/")).otherwise(path)
-            blocked = F.exists(
-                F.coalesce(F.col("disallow"), F.array()),
-                lambda pref: (F.length(pref) > 0) & path.startswith(pref),
-            )
-            out = out.filter(~blocked).drop("disallow")
+            out = out.filter(
+                ~disallowed_catalyst(F.col("url"), F.col("disallow"))
+            ).drop("disallow")
         return out

@@ -12,7 +12,8 @@ def spark():
 
     s = get_spark(app="tests", cores=int(os.environ.get("SPARK_TEST_CPUS", "8")), shuffle_partitions=8)
     yield s
-    s.stop()
+    # no explicit stop(): the gateway JVM dies with the pytest process, and
+    # SparkSession.stop() has been observed to stall ~60s at teardown here
 
 
 @pytest.fixture()
