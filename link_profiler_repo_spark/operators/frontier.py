@@ -54,6 +54,41 @@ def per_host_topk(
     )
 
 
+def priority_score(
+    depth,
+    backlink_count=None,
+    error_rate=None,
+    avg_response_ms=None,
+):
+    """W4 (ai/crawl_optimizer.py:41-103): deterministic URL priority score —
+    base 100, −10 per depth level, +20 when the target already has inbound
+    edges (the optimizer's backlink boost), −error_rate·100, −20 for slow
+    hosts (avg response > 5000 ms). The reference's random "predicted
+    quality" boost (:62) is nondeterministic and excluded from the equality
+    contract (SURVEY §4.3). Higher score = sooner; map to the 1-4 priority
+    ladder with score_to_priority."""
+    score = F.lit(100.0) - F.col(depth) * 10.0 if isinstance(depth, str) else F.lit(100.0) - depth * 10.0
+    if backlink_count is not None:
+        score = score + F.when(backlink_count > 0, 20.0).otherwise(0.0)
+    if error_rate is not None:
+        score = score - F.coalesce(error_rate, F.lit(0.0)) * 100.0
+    if avg_response_ms is not None:
+        score = score - F.when(F.coalesce(avg_response_ms, F.lit(0.0)) > 5000, 20.0).otherwise(0.0)
+    return score
+
+
+def score_to_priority(score):
+    """score (higher=better) -> queue priority 1..4 (lower=sooner), matching
+    the reference Priority ladder (smart_crawler_queue.py Priority enum)."""
+    return (
+        F.when(score >= 90, 1)
+        .when(score >= 70, 2)
+        .when(score >= 50, 3)
+        .otherwise(4)
+        .cast("int")
+    )
+
+
 def schedule_epoch(
     frontier: DataFrame,
     seen: DataFrame | None,
