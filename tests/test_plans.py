@@ -1,0 +1,87 @@
+"""Plan-property tests: lock in the physical-plan shapes that matter at scale
+(explain('formatted') review, automated)."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from link_profiler_repo_spark.operators.frontier import per_host_topk, schedule_epoch
+from link_profiler_repo_spark.operators.profile import full_link_profile, link_profiles
+from link_profiler_repo_spark.plans import (
+    assert_no_single_partition_exchange,
+    has_broadcast_join,
+    physical_plan,
+    pushed_filters,
+    read_schema_columns,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    pf = pushed_filters(q)
+    assert any("l_quantity" in f for f in pf), f"filter not pushed: {pf}"
+    cols = read_schema_columns(q)[0]
+    assert cols == {"l_orderkey", "l_quantity"}, f"scan reads too much: {cols}"
+
+
+def test_enrich_join_broadcasts_dims(spark):
+    from link_profiler_repo_spark.queries import q_enrich_join
+
+    assert has_broadcast_join(q_enrich_join(spark, SF_DIR))
+
+
+def test_profile_rollup_has_no_global_window(spark):
+    edges = spark.createDataFrame(
+        [("s", "t", "sh", "th", "a", "dofollow", [], 0, 1, 1)],
+        schema="src string, dst string, src_host string, dst_host string,"
+        "anchor_text string, link_type string, rel array<string>, pos int,"
+        "depth int, epoch int",
+    )
+    assert_no_single_partition_exchange(link_profiles(edges))
+    assert_no_single_partition_exchange(full_link_profile(edges))
+
+
+def test_frontier_kernel_has_no_global_window(spark):
+    frontier = spark.range(100).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 5).cast("string"), F.lit(".test/p")).alias("url"),
+        F.sha2(F.col("id").cast("string"), 256).alias("url_hash"),
+        F.concat(F.lit("h"), (F.col("id") % 5).cast("string")).alias("host"),
+        (F.col("id") % 3).cast("int").alias("priority"),
+        F.col("id").alias("arrival_seq"),
+    )
+    seen = frontier.filter(F.col("arrival_seq") < 10).select("url_hash")
+    wave = schedule_epoch(frontier, seen)
+    assert_no_single_partition_exchange(wave)
+    # the politeness rank shuffles on (hash(host), host, salt) — never on a
+    # single partition — and the anti-join is hash-partitioned
+    plan = physical_plan(wave)
+    assert "Window" in plan
+
+
+def test_salted_topk_equals_naive_window(spark):
+    from pyspark.sql import Window
+
+    frontier = spark.range(500).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        # heavy skew: 60% of rows on one host
+        F.when(F.col("id") % 5 < 3, "hot.test").otherwise(
+            F.concat(F.lit("h"), (F.col("id") % 7).cast("string"), F.lit(".test"))
+        ).alias("host"),
+        (F.col("id") % 4).cast("int").alias("priority"),
+        F.col("id").alias("arrival_seq"),
+    )
+    salted = {
+        (r["host"], r["rank"], r["url"])
+        for r in per_host_topk(frontier, F.lit(3), n_salt=8).collect()
+    }
+    w = Window.partitionBy("host").orderBy("priority", "arrival_seq")
+    naive = {
+        (r["host"], r["rank"], r["url"])
+        for r in frontier.withColumn("rank", F.row_number().over(w) - 1)
+        .filter(F.col("rank") < 3)
+        .collect()
+    }
+    assert salted == naive
