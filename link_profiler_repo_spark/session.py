@@ -69,6 +69,10 @@ def get_spark(
         shm = "/dev/shm/spark-local"
         os.makedirs(shm, exist_ok=True)
         extra["spark.local.dir"] = shm
+    # managed tables (bucketed state) go to tmpfs too; static conf, so it
+    # must be set at session build
+    if "spark.sql.warehouse.dir" not in extra and os.path.isdir("/dev/shm"):
+        extra["spark.sql.warehouse.dir"] = "/dev/shm/spark-warehouse"
     if shuffle_partitions is None:
         shuffle_partitions = max(4, cores)
     b = SparkSession.builder.appName(app).master(master)

@@ -1,0 +1,54 @@
+"""Bucketed seen-table — the 10^10-scale layout for the URL-seen set.
+
+The accumulated `seen` table is the one state that grows without bound
+(10^10 rows at the design point). Anti-joining each wave against it must NOT
+re-shuffle the big side every epoch. Solution (the Iceberg equivalent is
+`bucket(N, url_hash)` partition transform + storage-partitioned join):
+
+  - persist `seen` as a bucketBy(N, url_hash) managed table;
+  - per-epoch appends via insertInto keep the bucket layout;
+  - the anti-join then shuffles ONLY the wave side (candidates) into the
+    bucketing; the seen side reads co-located, no Exchange.
+
+Verified by plan assertion in tests (exactly one Exchange, on the candidate
+side) — the difference between O(wave) and O(|seen|) network per epoch.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+class BucketedSeenTable:
+    def __init__(self, spark: SparkSession, name: str = "seen_bucketed", buckets: int = 64):
+        self.spark = spark
+        self.name = name
+        self.buckets = buckets
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.name)
+
+    def init(self, seen: DataFrame) -> None:
+        (
+            seen.write.mode("overwrite")
+            .bucketBy(self.buckets, "url_hash")
+            .sortBy("url_hash")
+            .format("parquet")
+            .saveAsTable(self.name)
+        )
+
+    def append(self, delta: DataFrame) -> None:
+        # insertInto preserves the table's bucket spec (each append writes
+        # its own bucket files; compaction folds them periodically)
+        delta.write.mode("append").format("parquet").insertInto(self.name)
+
+    def df(self) -> DataFrame:
+        return self.spark.table(self.name)
+
+    def anti_join(self, candidates: DataFrame, key: str = "url_hash") -> DataFrame:
+        """candidates minus seen; only the candidate side shuffles."""
+        return candidates.join(self.df().select("url_hash"), on=key, how="left_anti")
+
+    def drop(self) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.name}")
