@@ -73,6 +73,8 @@ class CrawlEngine:
         bloom_bits: int = 1 << 23,
         canonical_mode: str = "identity",
         small_wave_threshold: int = 100_000,
+        compact_every: int = 0,
+        seen_layout: str = "delta",
     ):
         self.spark = spark
         self.cfg = cfg
@@ -86,6 +88,20 @@ class CrawlEngine:
         # waves below this row count use single-partition ordering + writes
         # (1 job instead of 3; identical semantics — see order.with_global_index)
         self.small_wave_threshold = small_wave_threshold
+        # fold seen/edges deltas every k epochs (0 = off); Iceberg snapshot
+        # compaction equivalent — keeps the per-wave delta-union scan bounded
+        self.compact_every = compact_every
+        # 'delta' = union of epoch deltas (default); 'bucketed' = probe a
+        # bucketBy(url_hash) managed table so the anti-join never re-shuffles
+        # the accumulated side (sources/bucketed.py; the 10^10-scale layout)
+        self.seen_layout = seen_layout
+        self._bucketed = None
+        if seen_layout == "bucketed":
+            from ..sources.bucketed import BucketedSeenTable
+
+            self._bucketed = BucketedSeenTable(
+                spark, name=f"seen_{cfg.job_id}".replace("-", "_"), buckets=64
+            )
         self.stats = CrawlStats()
 
     # -- shared helpers --------------------------------------------------------
@@ -173,12 +189,22 @@ class CrawlEngine:
                 store.write_bloom(0, bloom)
             store.commit({"epoch": 0, "crawled": 0, "mode": "bfs"})
 
+        if self._bucketed is not None:
+            self._bucketed.drop()
+            if ckpt is not None:
+                prior = store.read_deltas(spark, "seen", epoch)
+                if prior is not None:
+                    self._bucketed.init(prior.select("url_hash"))
+
         n_wave = frontier.count()  # subsequent waves reuse the admitted count
         while crawled < cfg.max_pages:
             if n_wave == 0:
                 break
             epoch += 1
-            seen = store.read_deltas(spark, "seen", epoch - 1)
+            if self._bucketed is not None and self._bucketed.exists():
+                seen = self._bucketed.df()
+            else:
+                seen = store.read_deltas(spark, "seen", epoch - 1)
 
             # dequeue-time skips: depth >= max_depth (crawl_service.py:499-501),
             # seen (:497-498), first-occurrence within the wave (dup enqueues)
@@ -282,6 +308,15 @@ class CrawlEngine:
 
             nxt = nxt.select(*_FRONTIER_COLS)
             store.write_epoch("frontier", epoch, nxt, coalesce=1 if small else None)
+            if self._bucketed is not None:
+                # append AFTER all of this wave's anti-join consumers ran —
+                # spark.table() is lazy, so an earlier append would leak this
+                # wave's seen rows into its own candidate filtering
+                keys = seen_delta.select("url_hash")
+                if self._bucketed.exists():
+                    self._bucketed.append(keys)
+                else:
+                    self._bucketed.init(keys)
             if bloom is not None:
                 bloom = add_to_bloom(bloom, seen_delta, "xx64", self.bloom_bits)
                 store.write_bloom(epoch, bloom)
@@ -289,6 +324,8 @@ class CrawlEngine:
 
             crawled += n_crawled_wave
             store.commit({"epoch": epoch, "crawled": crawled, "mode": "bfs"})
+            if self.compact_every and epoch % self.compact_every == 0:
+                store.compact(spark, "seen", epoch)
             self.stats.per_epoch.append(
                 {"epoch": epoch, "wave": n_wave, "crawled": n_crawled_wave, "candidates": n_cand}
             )

@@ -86,6 +86,25 @@ class StateStore:
         df = spark.read.option("basePath", base).parquet(base)
         return df.filter(F.col("epoch") <= upto_epoch)
 
+    def compact(self, spark: SparkSession, table: str, upto_epoch: int, keep_epoch: int = 0) -> None:
+        """Fold all deltas <= upto_epoch into the keep_epoch directory and
+        remove the rest (Iceberg snapshot-compaction equivalent). Readers see
+        either the old layout or the new one — the checkpoint manifest is the
+        commit point, and read_deltas(upto) over the compacted layout returns
+        the same rows."""
+        import shutil
+
+        df = self.read_deltas(spark, table, upto_epoch)
+        if df is None:
+            return
+        tmp = os.path.join(self.dir, f"_{table}_compact_tmp")
+        df.drop("epoch").write.mode("overwrite").parquet(tmp)
+        base = os.path.join(self.dir, table)
+        for d in os.listdir(base):
+            if d.startswith("epoch="):
+                shutil.rmtree(os.path.join(base, d))
+        os.replace(tmp, self._epoch_dir(table, keep_epoch))
+
     # -- bloom sidecar ---------------------------------------------------------
     def write_bloom(self, epoch: int, bitmap: np.ndarray) -> str:
         path = os.path.join(self.dir, f"bloom_epoch{epoch}.npy")
