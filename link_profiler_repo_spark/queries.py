@@ -555,10 +555,41 @@ def q_media_features(spark, sf_dir):
     return extract_features(media_table_from_docs(docs))
 
 
+def q_crawl_scheduler_order(spark, sf_dir):
+    """Priority-frontier mode (politeness budgets, robots, retries) — exact
+    oracle lives in tests/test_frontier_oracle.py."""
+    from .config import CrawlConfig
+    from .operators.crawl import CrawlEngine
+    from .synth import SynthParams, default_seeds, robots_spark, synth_docs_spark
+
+    p = SynthParams(n_docs=80, n_hosts=6)
+    cfg = CrawlConfig(job_id="gate-sched", max_depth=2, max_pages=40, max_retries=1)
+    docs_df = synth_docs_spark(spark, p).persist()
+    eng = CrawlEngine(
+        spark, cfg, docs_df, tempfile.mkdtemp(prefix="sparkfrontier_"),
+        synth_params=p, robots_df=robots_spark(spark, p), use_bloom=False,
+    )
+    out = eng.run_scheduler([u for _, u, _ in default_seeds(p, 3)])
+    return out["seen"].select("crawl_order", "url", "depth").orderBy("crawl_order")
+
+
+def q_seo_metrics(spark, sf_dir):
+    from .functions.seo import page_text, parse_seo_metrics_udf
+    from .synth import SynthParams, synth_docs_spark
+
+    docs = synth_docs_spark(spark, SynthParams(n_docs=60, n_hosts=6))
+    return docs.select(
+        "doc_id",
+        parse_seo_metrics_udf(F.col("doc_id"), page_text("spans")).alias("seo"),
+    ).select("doc_id", "seo.*")
+
+
 ROWS_ONLY_QUERIES = {
     "crawl_bfs_order": q_crawl_bfs_order,
+    "crawl_scheduler_order": q_crawl_scheduler_order,
     "crawl_link_profile": q_crawl_link_profile,
     "minhash_near_dup": q_minhash_pairs,
     "ivf_ann_topk": q_ivf_topk,
     "media_features": q_media_features,
+    "seo_metrics": q_seo_metrics,
 }
