@@ -569,7 +569,8 @@ def q_crawl_scheduler_order(spark, sf_dir):
         spark, cfg, docs_df, tempfile.mkdtemp(prefix="sparkfrontier_"),
         synth_params=p, robots_df=robots_spark(spark, p), use_bloom=False,
     )
-    out = eng.run_scheduler([u for _, u, _ in default_seeds(p, 3)])
+    # max_epochs bounds gate runtime; the unbounded drain is oracle-tested
+    out = eng.run_scheduler([u for _, u, _ in default_seeds(p, 3)], max_epochs=4)
     return out["seen"].select("crawl_order", "url", "depth").orderBy("crawl_order")
 
 
