@@ -1,0 +1,76 @@
+"""Job-type dispatch — the reference's CrawlService runner surface
+(services/crawl_service.py:134-266 dispatches 12 job types by string) as
+driver-side pipeline compositions. Each job = a function (spark, params) ->
+dict of result DataFrames; status transitions live in the state store's
+checkpoint manifest rather than a Postgres row.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import SparkSession
+
+from .config import CrawlConfig
+from .operators.analytics import domain_value_score, link_intersect, link_velocity
+from .operators.crawl import CrawlEngine
+from .operators.profile import full_link_profile
+from .synth import SynthParams
+
+
+def backlink_discovery(spark: SparkSession, docs_df, seeds, cfg: CrawlConfig,
+                       workdir: str | None = None, p: SynthParams | None = None,
+                       mode: str = "bfs", **engine_kw):
+    """§3.1: the crawl; returns seen/edges/metrics plus the profile rollup
+    (the reference's aggregation tail, crawl_service.py:656-707)."""
+    eng = CrawlEngine(
+        spark, cfg, docs_df, workdir or tempfile.mkdtemp(prefix="job_"),
+        synth_params=p, **engine_kw,
+    )
+    out = eng.run_bfs(seeds) if mode == "bfs" else eng.run_scheduler(seeds)
+    if out["edges"] is not None:
+        out["profiles"] = full_link_profile(out["edges"])
+    return out
+
+
+def link_health_audit(spark: SparkSession, edges, seen):
+    """crawl_service.py:788-808: dead/broken targets = edges whose dst was
+    crawled with an error status, or never resolved."""
+    import pyspark.sql.functions as F
+
+    s = seen.select(F.col("url").alias("dst"), "status_code")
+    return (
+        edges.join(s, "dst", "left")
+        .filter(F.col("status_code").isNull() | (F.col("status_code") >= 400))
+        .select("src", "dst", "status_code")
+    )
+
+
+def domain_analysis(spark: SparkSession, domains, profiles):
+    """crawl_service.py:906-975 scoring loop -> one DataFrame plan."""
+    return domain_value_score(domains, profiles)
+
+
+def full_seo_audit(spark: SparkSession, docs_df, seeds, cfg, **kw):
+    """crawl_service.py:977-1029: sequential composition — crawl, then the
+    analytics tail over its outputs."""
+    out = backlink_discovery(spark, docs_df, seeds, cfg, **kw)
+    out["health"] = link_health_audit(spark, out["edges"], out["seen"])
+    return out
+
+
+JOB_TYPES = {
+    "backlink_discovery": backlink_discovery,
+    "link_health_audit": link_health_audit,
+    "domain_analysis": domain_analysis,
+    "full_seo_audit": full_seo_audit,
+    "link_velocity": lambda spark, edges, **kw: link_velocity(edges, **kw),
+    "link_intersect": lambda spark, edges, primary, comps: link_intersect(edges, primary, comps),
+}
+
+
+def run_job(job_type: str, spark: SparkSession, *args, **kw):
+    """reference: execute_predefined_job dispatch (crawl_service.py:268-389)."""
+    if job_type not in JOB_TYPES:
+        raise ValueError(f"unknown job_type {job_type!r}; known: {sorted(JOB_TYPES)}")
+    return JOB_TYPES[job_type](spark, *args, **kw)

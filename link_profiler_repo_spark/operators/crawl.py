@@ -75,6 +75,7 @@ class CrawlEngine:
         small_wave_threshold: int = 100_000,
         compact_every: int = 0,
         seen_layout: str = "delta",
+        metrics_enabled: bool = True,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -95,6 +96,7 @@ class CrawlEngine:
         # bucketBy(url_hash) managed table so the anti-join never re-shuffles
         # the accumulated side (sources/bucketed.py; the 10^10-scale layout)
         self.seen_layout = seen_layout
+        self.metrics_enabled = metrics_enabled
         self._bucketed = None
         if seen_layout == "bucketed":
             from ..sources.bucketed import BucketedSeenTable
@@ -147,6 +149,8 @@ class CrawlEngine:
     def _log_metrics(self, epoch: int, stages: list[tuple[str, DataFrame]]) -> None:
         """Per-partition lineage counters (north_rule): one write per epoch,
         all stages unioned."""
+        if not self.metrics_enabled:
+            return
         parts = []
         for stage, df in stages:
             parts.append(

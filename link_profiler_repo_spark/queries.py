@@ -585,8 +585,42 @@ def q_seo_metrics(spark, sf_dir):
     ).select("doc_id", "seo.*")
 
 
+def q_streaming_metrics(spark, sf_dir):
+    """Structured Streaming windowed counters over the events table, driven
+    to completion (AvailableNow-style) and returned as a batch DataFrame."""
+    import pyspark.sql.types as T
+
+    from .streaming.stream import metrics_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    agg = metrics_stream(spark, f"{sf_dir}/events.parquet", schema, window="1 hour", slide="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("gate_stream_out").start()
+    )
+    q.processAllAvailable()
+    out = spark.sql("SELECT * FROM gate_stream_out").select(
+        F.col("window.start").alias("window_start"), "event_type", "n",
+        F.round("mean_value", 6).alias("mean_value"),
+    )
+    out = out.persist()
+    out.count()
+    q.stop()
+    return out
+
+
 ROWS_ONLY_QUERIES = {
     "crawl_bfs_order": q_crawl_bfs_order,
+    "streaming_metrics": q_streaming_metrics,
     "crawl_scheduler_order": q_crawl_scheduler_order,
     "crawl_link_profile": q_crawl_link_profile,
     "minhash_near_dup": q_minhash_pairs,

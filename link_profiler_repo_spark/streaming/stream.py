@@ -32,7 +32,14 @@ def metrics_stream(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Sliding-window event counters with late-data watermark."""
-    events = spark.readStream.format("parquet").schema(schema).load(path)
+    reader = spark.readStream.format("parquet").schema(schema)
+    if path.endswith(".parquet"):
+        # FileStreamSource wants a directory; stream the parent with a glob
+        import os
+
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    events = reader.load(path)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window, slide), F.col("event_type"))

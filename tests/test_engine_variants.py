@@ -24,7 +24,7 @@ def test_bucketed_seen_layout_matches_oracle(spark):
     docs_df = synth_docs_spark(spark, P).persist()
     eng = CrawlEngine(
         spark, CFG_B, docs_df, tempfile.mkdtemp(), synth_params=P,
-        use_bloom=False, seen_layout="bucketed",
+        use_bloom=False, seen_layout="bucketed", metrics_enabled=False,
     )
     try:
         out = eng.run_bfs(seeds)
@@ -41,7 +41,7 @@ def test_compaction_matches_oracle(spark):
     docs_df = synth_docs_spark(spark, P).persist()
     eng = CrawlEngine(
         spark, CFG_C, docs_df, tempfile.mkdtemp(), synth_params=P,
-        use_bloom=False, compact_every=2,
+        use_bloom=False, compact_every=2, metrics_enabled=False,
     )
     out = eng.run_bfs(seeds)
     assert _order(out) == expected.order

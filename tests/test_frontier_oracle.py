@@ -111,7 +111,8 @@ def test_bfs_variants_match_oracle(spark, docs_df, tmp_workdir, cfg, n_seeds):
     docs, seeds = build_fixture(P, n_seeds=n_seeds)
     expected = simulate_bfs(docs, seeds, cfg, P)
     eng = CrawlEngine(
-        spark, cfg, docs_df, tmp_workdir, synth_params=P, use_bloom=False
+        spark, cfg, docs_df, tmp_workdir, synth_params=P, use_bloom=False,
+        metrics_enabled=False,
     )
     out = eng.run_bfs(seeds)
     got = _engine_order(out)
@@ -131,6 +132,7 @@ def sched_run(spark, docs_df):
     eng = CrawlEngine(
         spark, cfg, docs_df, tempfile.mkdtemp(), synth_params=P,
         robots_df=robots_spark(spark, P), bloom_bits=1 << 16,
+        metrics_enabled=False,
     )
     out = eng.run_scheduler(seeds)
     return expected, out

@@ -25,7 +25,7 @@ def test_bfs_resume_matches_uninterrupted(spark):
     docs_df.count()
 
     wd = tempfile.mkdtemp()
-    eng = CrawlEngine(spark, CFG, docs_df, wd, synth_params=P, bloom_bits=1 << 16)
+    eng = CrawlEngine(spark, CFG, docs_df, wd, synth_params=P, bloom_bits=1 << 16, metrics_enabled=False)
 
     # crash mid-run: abort after the commit of epoch 2
     original_commit = eng.store.commit
@@ -43,7 +43,7 @@ def test_bfs_resume_matches_uninterrupted(spark):
         pass
 
     # resume with a fresh engine over the same workdir
-    eng2 = CrawlEngine(spark, CFG, docs_df, wd, synth_params=P, bloom_bits=1 << 16)
+    eng2 = CrawlEngine(spark, CFG, docs_df, wd, synth_params=P, bloom_bits=1 << 16, metrics_enabled=False)
     out = eng2.run_bfs(seeds, resume=True)
     got = [
         (int(r["crawl_order"]), r["url"], int(r["depth"]))
