@@ -254,8 +254,8 @@ def main() -> None:
             f"Input: synthetic frontier of {N_FRONTIER:,} candidate URLs "
             f"(30% on one hot host) deduped against a {N_SEEN:,}-URL seen set "
             "(~50% overlap), then ranked under per-host politeness budgets "
-            "(salted per-host top-k). Identical input at both parallelism "
-            "levels; matching spark.sql.shuffle.partitions (2x cores).\n\n"
+            "(salted per-host top-k). Identical input AND identical "
+            "spark.sql.shuffle.partitions at both parallelism levels.\n\n"
             "Protocol: each level runs in its own CPU-pinned (taskset) fresh\n"
             "JVM subprocess; levels interleaved for "
             f"{rounds} rounds, best-of per level (the sandbox is a shared\n"
@@ -276,11 +276,12 @@ def main() -> None:
             f"{crawl['epochs']} epochs).\n"
             "Reference self-reported crawl throughput: 2-25 RPS/instance, "
             "100-1000+ pages/min (PRODUCTION_UPGRADE_GUIDE.md:126, "
-            "README.md:569) — this engine is ~10^2-10^3x that on one node, "
-            "network fetch excluded on both sides of the comparison is not "
-            "possible (the reference numbers include live HTTP), so the "
-            "honest claim is: the scheduling/dedup/extraction machinery is "
-            "never the bottleneck; a deployment is fetch-bound.\n\n"
+            "README.md:569). Caveat on the comparison: the reference numbers "
+            "include live HTTP latency and ours cannot (no egress here), so "
+            "the honest claim is that this engine's scheduling + dedup + "
+            "extraction machinery runs 10^2-10^3x faster than the "
+            "reference's whole loop — a live deployment becomes fetch-bound, "
+            "never scheduler-bound.\n\n"
             f"Headline query times at sf{sf} (local[{CPUS}]):\n\n"
             + "\n".join(f"- {k}: {v}s" for k, v in qtimes.items())
             + "\n"
