@@ -30,8 +30,10 @@ def url_path(url: Column | str) -> Column:
 
 
 def is_valid_http_url(url: Column | str) -> Column:
+    # scheme match is case-insensitive: urlparse lowercases the scheme, so
+    # the reference validator accepts HTTP:// (utils/url_validator.py:20-26)
     c = F.col(url) if isinstance(url, str) else url
-    return c.rlike(r"^https?://[^/?#]+")
+    return c.rlike(r"(?i)^https?://[^/?#]+")
 
 
 def url_sha256(url: Column | str) -> Column:
