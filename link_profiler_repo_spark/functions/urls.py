@@ -53,8 +53,10 @@ def canonicalize(url: Column | str, mode: str = "identity") -> Column:
     # lowercase scheme://host part only, keep path case
     head = F.lower(F.regexp_extract(no_frag, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)", 1))
     tail = F.regexp_replace(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*", "")
-    head = F.regexp_replace(head, r":80$", "")
-    head = F.regexp_replace(head, r":443$", "")
+    # default-port strip is scheme-conditional: :80 is only the default for
+    # http, :443 only for https — http://host:443 stays distinct (ADVICE r01)
+    head = F.regexp_replace(head, r"^(http://.+):80$", "$1")
+    head = F.regexp_replace(head, r"^(https://.+):443$", "$1")
     return F.concat(head, tail)
 
 
@@ -70,5 +72,6 @@ def canonicalize_py(url: pd.Series, mode: str = "identity") -> pd.Series:
     s = url.str.replace(r"#.*$", "", regex=True)
     head = s.str.extract(r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)", expand=False).str.lower()
     tail = s.str.replace(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*", "", regex=True)
-    head = head.str.replace(r":80$", "", regex=True).str.replace(r":443$", "", regex=True)
+    head = head.str.replace(r"^(http://.+):80$", r"\1", regex=True)
+    head = head.str.replace(r"^(https://.+):443$", r"\1", regex=True)
     return head.fillna("") + tail

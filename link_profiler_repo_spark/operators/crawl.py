@@ -109,10 +109,17 @@ class CrawlEngine:
     # -- shared helpers --------------------------------------------------------
 
     def _with_keys(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        # BOTH keys derive from the canonicalized URL: the bloom prefilter
+        # (xx64) and the exact anti-join (url_hash) must agree on identity,
+        # else a raw-spelling variant absent from the bloom would take the
+        # sure_new fast path around the exact join (ADVICE r01)
         c = F.col(url_col)
-        return df.withColumn(
-            "url_hash", url_sha256(canonicalize(c, self.canonical_mode))
-        ).withColumn("xx64", F.xxhash64(c)).withColumn("host", url_host(c))
+        canon = canonicalize(c, self.canonical_mode)
+        return (
+            df.withColumn("url_hash", url_sha256(canon))
+            .withColumn("xx64", F.xxhash64(canon))
+            .withColumn("host", url_host(c))
+        )
 
     def _status_col(self) -> F.Column:
         """Deterministic fetch outcome, mirroring synth.fetch_status: flaky
@@ -163,7 +170,9 @@ class CrawlEngine:
         m = parts[0]
         for x in parts[1:]:
             m = m.unionByName(x)
-        self.store.write_epoch("metrics", epoch, m, mode="append", coalesce=1)
+        # overwrite like every other epoch table: a mid-epoch crash + re-run
+        # must not append a second copy of the epoch's counters (ADVICE r01)
+        self.store.write_epoch("metrics", epoch, m, coalesce=1)
 
     # -- BFS mode ---------------------------------------------------------------
 

@@ -38,15 +38,36 @@ def brute_force_topk(
     id_col: str = "vec_id",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query. queries is small -> broadcast cross join;
-    top-k via two-stage agg. Output: (q_id, vec_id, cosine, rank)."""
+    top-k via two-stage agg. Output: (q_id, vec_id, cosine, rank).
+
+    round_to=N makes the k-boundary cross-engine stable: candidates are ranked
+    by (round(cosine, N) DESC, vec_id ASC) so two cosines that differ only past
+    N decimals cannot yield different top-k membership in engines that
+    accumulate the dot product in a different order."""
     q = F.broadcast(queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")))
     scored = vectors.crossJoin(q).select(
         "q_id",
         F.col(id_col).alias("vec_id"),
         _cos(F.col(vec_col), F.col("q_vec")).alias("cosine"),
     )
+    if round_to is not None:
+        # sort desc on (rounded cosine, -vec_id) == (rounded DESC, vec_id ASC)
+        key = F.struct(
+            F.round("cosine", round_to).alias("cosine"),
+            (-F.col("vec_id")).alias("negid"),
+        )
+        packed = scored.groupBy("q_id").agg(
+            F.slice(F.sort_array(F.collect_list(key), asc=False), 1, k).alias("top")
+        )
+        return packed.select("q_id", F.posexplode("top").alias("r", "t")).select(
+            "q_id",
+            (-F.col("t.negid")).alias("vec_id"),
+            F.col("t.cosine").alias("cosine"),
+            (F.col("r") + 1).alias("rank"),
+        )
     packed = scored.groupBy("q_id").agg(
         F.slice(
             F.sort_array(

@@ -45,7 +45,10 @@ def q_profile_rollup(spark, sf_dir):
         F.count_distinct("o_orderstatus").alias("n_statuses"),
         F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("urgent_cnt"),
         F.sum(F.when(F.col("o_orderpriority") == "2-HIGH", 1).otherwise(0)).alias("high_cnt"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        # money sums accumulate in DECIMAL so the result is exact and
+        # accumulation ORDER cannot flip the last cent between engines
+        # (the source doubles are exact 2dp values, so the cast is lossless)
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spend"),
     )
 
 
@@ -55,7 +58,7 @@ SELECT o_custkey AS custkey,
        COUNT(DISTINCT o_orderstatus) AS n_statuses,
        SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent_cnt,
        SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high_cnt,
-       ROUND(SUM(o_totalprice), 2) AS total_spend
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
 FROM orders GROUP BY o_custkey
 """
 
@@ -212,7 +215,12 @@ def q_enrich_join(spark, sf_dir):
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            # exact decimal accumulation (order-independent): the source
+            # doubles are exact 2dp, so products and sums are exact decimals
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -220,7 +228,8 @@ def q_enrich_join(spark, sf_dir):
 
 SQL_ENRICH_JOIN = """
 SELECT n_name AS nation,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -236,16 +245,20 @@ GROUP BY n_name
 
 def q_tpch_q1(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
+    # exact decimal accumulation on every money sum (order-independent hash;
+    # the source doubles are exact 2dp / integer values, so casts are lossless)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    tax = F.col("l_tax").cast("decimal(3,2)")
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -256,10 +269,13 @@ def q_tpch_q1(spark, sf_dir):
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
        ROUND(AVG(l_quantity), 6) AS avg_qty,
        ROUND(AVG(l_extendedprice), 6) AS avg_price,
        ROUND(AVG(l_discount), 6) AS avg_disc,
@@ -386,17 +402,12 @@ def q_similarity_topk(spark, sf_dir):
     qs = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    out = brute_force_topk(
+    # round_to=6 INSIDE the top-k selection: the k-boundary itself is cut on
+    # (rounded cosine DESC, vec_id ASC) in both engines, so membership can't
+    # flip on sub-1e-6 accumulation noise (ADVICE r01)
+    return brute_force_topk(
         e.filter(F.col("vec_id") >= 5), qs, k=10,
-        vec_col="embedding", id_col="vec_id",
-    )
-    # round BEFORE hashing so accumulation-order noise can't flip values;
-    # ranks are recomputed on rounded cosine for cross-engine stability
-    w = Window.partitionBy("q_id").orderBy(F.desc(F.round("cosine", 6)), F.asc("vec_id"))
-    return (
-        out.withColumn("cosine_r", F.round("cosine", 6))
-        .withColumn("rank2", F.row_number().over(w))
-        .select("q_id", "vec_id", F.col("cosine_r").alias("cosine"), F.col("rank2").alias("rank"))
+        vec_col="embedding", id_col="vec_id", round_to=6,
     )
 
 
@@ -527,7 +538,18 @@ def q_crawl_link_profile(spark, sf_dir):
     from .operators.profile import full_link_profile
 
     out = _crawl_outputs(spark)
-    return full_link_profile(out["edges"]).orderBy("target_url")
+    prof = full_link_profile(out["edges"])
+    # gate wrapper: the driver canonicalizer sorts rows in pandas and cannot
+    # hash map cells — serialize the two top-k maps to JSON (scalar columns);
+    # the map-typed operator output is unchanged (pytest goldens cover it)
+    return prof.select(
+        *[
+            F.to_json(F.col(c)).alias(c)
+            if c in ("top_anchor_text", "top_src_host")
+            else F.col(c)
+            for c in prof.columns
+        ]
+    ).orderBy("target_url")
 
 
 def q_minhash_pairs(spark, sf_dir):
@@ -552,7 +574,10 @@ def q_media_features(spark, sf_dir):
     from .synth import SynthParams, synth_docs_spark
 
     docs = synth_docs_spark(spark, SynthParams(n_docs=40, n_hosts=4))
-    return extract_features(media_table_from_docs(docs))
+    feats = extract_features(media_table_from_docs(docs))
+    # gate wrapper: array<float> cells are unhashable in the driver
+    # canonicalizer — serialize to JSON; operator output stays typed
+    return feats.select("media_ref", F.to_json("features").alias("features"))
 
 
 def q_crawl_scheduler_order(spark, sf_dir):

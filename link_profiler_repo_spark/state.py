@@ -60,8 +60,36 @@ class StateStore:
         os.replace(tmp, self._ckpt_path)
 
     # -- tables ---------------------------------------------------------------
+    # Each logical table lives under a GENERATION directory ({table} for gen 0,
+    # {table}__gen{g} after g compactions) resolved through a tiny pointer file
+    # written tmp+rename. Compaction writes the next generation COMPLETELY,
+    # atomically bumps the pointer, and only then deletes the old generation —
+    # a crash at any point leaves exactly one complete generation readable
+    # (ADVICE r01: the old in-place compact lost the table if it died between
+    # delete and install).
+
+    def _gen_path(self, table: str) -> str:
+        return os.path.join(self.dir, f"_{table}.gen")
+
+    def _gen(self, table: str) -> int:
+        p = self._gen_path(table)
+        if not os.path.exists(p):
+            return 0
+        with open(p) as f:
+            return int(f.read().strip() or 0)
+
+    def _set_gen(self, table: str, g: int) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".gen.tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(g))
+        os.replace(tmp, self._gen_path(table))
+
+    def _table_dir(self, table: str, gen: int | None = None) -> str:
+        g = self._gen(table) if gen is None else gen
+        return os.path.join(self.dir, table if g == 0 else f"{table}__gen{g}")
+
     def _epoch_dir(self, table: str, epoch: int) -> str:
-        return os.path.join(self.dir, table, f"epoch={epoch}")
+        return os.path.join(self._table_dir(table), f"epoch={epoch}")
 
     def write_epoch(
         self, table: str, epoch: int, df: DataFrame, mode: str = "overwrite",
@@ -80,30 +108,37 @@ class StateStore:
 
     def read_deltas(self, spark: SparkSession, table: str, upto_epoch: int) -> DataFrame | None:
         """Union of all epoch deltas <= upto_epoch, partition-pruned."""
-        base = os.path.join(self.dir, table)
+        base = self._table_dir(table)
         if not os.path.isdir(base) or not os.listdir(base):
             return None
         df = spark.read.option("basePath", base).parquet(base)
         return df.filter(F.col("epoch") <= upto_epoch)
 
     def compact(self, spark: SparkSession, table: str, upto_epoch: int, keep_epoch: int = 0) -> None:
-        """Fold all deltas <= upto_epoch into the keep_epoch directory and
-        remove the rest (Iceberg snapshot-compaction equivalent). Readers see
-        either the old layout or the new one — the checkpoint manifest is the
-        commit point, and read_deltas(upto) over the compacted layout returns
-        the same rows."""
+        """Fold all deltas <= upto_epoch into one delta in a NEW generation
+        directory (Iceberg snapshot-compaction equivalent), crash-safe:
+
+          1. write {table}__gen{g+1}/epoch={keep_epoch} completely
+          2. atomically bump the generation pointer (the commit point)
+          3. delete the previous generation directory
+
+        A crash before (2) leaves the old generation live and the half-written
+        new one as garbage (overwritten by the next compact); a crash after
+        (2) leaves the new generation live and the old one as garbage."""
         import shutil
 
         df = self.read_deltas(spark, table, upto_epoch)
         if df is None:
             return
-        tmp = os.path.join(self.dir, f"_{table}_compact_tmp")
-        df.drop("epoch").write.mode("overwrite").parquet(tmp)
-        base = os.path.join(self.dir, table)
-        for d in os.listdir(base):
-            if d.startswith("epoch="):
-                shutil.rmtree(os.path.join(base, d))
-        os.replace(tmp, self._epoch_dir(table, keep_epoch))
+        old_gen = self._gen(table)
+        old_dir = self._table_dir(table, old_gen)
+        new_gen = old_gen + 1
+        new_dir = self._table_dir(table, new_gen)
+        if os.path.isdir(new_dir):  # garbage from a prior crash before commit
+            shutil.rmtree(new_dir)
+        df.drop("epoch").write.parquet(os.path.join(new_dir, f"epoch={keep_epoch}"))
+        self._set_gen(table, new_gen)  # commit point
+        shutil.rmtree(old_dir, ignore_errors=True)
 
     # -- bloom sidecar ---------------------------------------------------------
     def write_bloom(self, epoch: int, bitmap: np.ndarray) -> str:

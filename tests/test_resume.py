@@ -52,3 +52,66 @@ def test_bfs_resume_matches_uninterrupted(spark):
     assert got == expected.order
     assert {u for _, u, _ in got} == expected.seen
     docs_df.unpersist()
+
+
+def _rows(df):
+    return sorted((r["url_hash"], int(r["epoch"])) for r in df.collect())
+
+
+def test_compaction_crash_safe(spark):
+    """A crash at ANY point during compaction must leave exactly one complete
+    generation readable (ADVICE r01: the old in-place compact deleted the
+    deltas before installing the replacement)."""
+    import pyspark.sql.functions as F
+
+    from link_profiler_repo_spark.state import StateStore
+
+    wd = tempfile.mkdtemp()
+    store = StateStore(wd, "compact-crash")
+    for e in range(1, 4):
+        df = spark.range(3).select(
+            F.concat(F.lit(f"h{e}-"), F.col("id").cast("string")).alias("url_hash")
+        )
+        store.write_epoch("seen", e, df)
+    before = _rows(store.read_deltas(spark, "seen", 3))
+    assert len(before) == 9
+
+    # crash AFTER the new generation is written but BEFORE the pointer bump:
+    # the old generation must still be fully readable
+    real_set_gen = store._set_gen
+    store._set_gen = lambda t, g: (_ for _ in ()).throw(RuntimeError("crash"))
+    try:
+        store.compact(spark, "seen", 3)
+        raise AssertionError("expected simulated crash")
+    except RuntimeError:
+        pass
+    store._set_gen = real_set_gen
+    assert _rows(store.read_deltas(spark, "seen", 3)) == before
+
+    # crash AFTER the pointer bump but BEFORE old-gen deletion: the NEW
+    # generation must be live (rows identical modulo the folded epoch column)
+    import shutil as _shutil
+
+    old_dir = store._table_dir("seen")  # the generation about to be replaced
+    real_rmtree = _shutil.rmtree
+
+    def crash_on_old(path, *a, **k):
+        if str(path) == old_dir:
+            raise RuntimeError("crash")
+        return real_rmtree(path, *a, **k)
+
+    try:
+        _shutil.rmtree = crash_on_old
+        try:
+            store.compact(spark, "seen", 3)
+        except RuntimeError:
+            pass
+    finally:
+        _shutil.rmtree = real_rmtree
+    after = store.read_deltas(spark, "seen", 3)
+    assert sorted(r["url_hash"] for r in after.collect()) == sorted(h for h, _ in before)
+    # and a fresh store over the same dir resolves the same generation
+    store2 = StateStore(wd, "compact-crash")
+    assert sorted(r["url_hash"] for r in store2.read_deltas(spark, "seen", 3).collect()) == sorted(
+        h for h, _ in before
+    )

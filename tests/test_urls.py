@@ -17,6 +17,8 @@ URLS = [
     "https://h.test:443/x",
     "http://h.test/p/00001",
     "http://user@h.test:8080/a#b",
+    "http://h.test:443/x",  # NON-default port for http — must survive
+    "https://h.test:80/x",  # NON-default port for https — must survive
 ]
 
 
@@ -27,6 +29,9 @@ def test_canonicalize_full_mode(spark):
     assert got[1] == "https://h.test/x"
     assert got[2] == "http://h.test/p/00001"
     assert got[3] == "http://user@h.test:8080/a"
+    # default-port strip is scheme-conditional (ADVICE r01)
+    assert got[4] == "http://h.test:443/x"
+    assert got[5] == "https://h.test:80/x"
     # pandas fallback produces identical strings (driver-side oracle parity)
     py = canonicalize_py(pd.Series(URLS), "full").tolist()
     assert py == got
@@ -45,7 +50,7 @@ def test_host_and_validity(spark):
     ).collect()
     assert rows[0]["h"] == "Example.COM:80"  # netloc as urlparse returns it
     assert rows[3]["h"] == "user@h.test:8080"
-    assert [r["v"] for r in rows] == [True, True, True, True, False, False]
+    assert [r["v"] for r in rows] == [True] * len(URLS) + [False, False]
 
 
 def test_internal_external(spark):
