@@ -46,7 +46,7 @@ from ..functions.urls import canonicalize, url_host, url_sha256
 from ..state import StateStore
 from ..synth import SynthParams
 from .frontier import per_host_topk
-from .order import unpersist_all, with_global_index
+from .order import track_persist, unpersist_all, with_global_index
 
 _FRONTIER_COLS = ["url", "url_hash", "xx64", "host", "depth", "wave_seq"]
 
@@ -358,26 +358,74 @@ class CrawlEngine:
         admit candidate c (in queue order) iff
           (crawled_before + k_c + 1) + (n_wave - q_c - 1) + admitted_so_far < max_pages
         which is crawled_count + qsize at the enqueue moment (:599-600).
-        Runs driver-side over compact metadata of ONE wave's candidates."""
-        meta = (
-            cand_indexed.select("wave_seq", "parent_k", "parent_q")
+
+        DISTRIBUTED rendering (no driver materialization of the wave): with
+        1-based position j = wave_seq + 1 and per-candidate threshold
+          t_j = max_pages - crawled - n_wave - parent_k + parent_q,
+        the sequential loop is A(j) = A(j-1) + [A(j-1) < t_j]. Candidates are
+        ordered by (parent_q, pos), so parent_k - parent_q is non-increasing
+        and t is NONDECREASING, which gives the closed form
+          A(j) = j + min(0, min_{l<=j}(max(t_l, 0) - l))
+        (proved by induction: in an admit step the running min is unchanged,
+        in a skip step it drops by exactly 1 because A(j-1) = max(t_j, 0)).
+        The running min is a per-partition window over range-partitioned data
+        plus tiny per-partition offsets — same two-pass shape as
+        order.with_global_index, nothing wave-sized ever reaches the driver."""
+        spark = self.spark
+        BIG = F.lit(1 << 62).cast("long")
+        t = (
+            F.lit(self.cfg.max_pages).cast("long")
+            - F.lit(crawled)
+            - F.lit(n_wave)
+            - F.col("parent_k")
+            + F.col("parent_q")
+        )
+        j = F.col("wave_seq") + F.lit(1)
+        d = cand_indexed.withColumn("_t", t).withColumn(
+            "_s", F.greatest(F.col("_t"), F.lit(0).cast("long")) - j
+        )
+        nparts = max(2, spark.sparkContext.defaultParallelism)
+        d = (
+            d.repartitionByRange(nparts, "wave_seq")
+            .sortWithinPartitions("wave_seq")
+            .withColumn("_pid", F.spark_partition_id())
+        )
+        track_persist(d.persist())
+        # per-partition minima of _s (one row per partition — bounded, tiny)
+        pmins = {
+            int(r["_pid"]): int(r["m"])
+            for r in d.groupBy("_pid").agg(F.min("_s").alias("m")).collect()
+        }
+        prefix: dict[int, int] = {}
+        acc = 1 << 62
+        for pid in sorted(pmins):
+            prefix[pid] = acc  # min of all partitions BEFORE this one
+            acc = min(acc, pmins[pid])
+        if prefix:
+            pref_df = F.broadcast(
+                spark.createDataFrame(
+                    [(pid, m) for pid, m in prefix.items()],
+                    schema="_pid int, _pref long",
+                )
+            )
+            d = d.join(pref_df, "_pid", "left")
+        else:
+            d = d.withColumn("_pref", BIG)
+        w = (
+            Window.partitionBy("_pid")
             .orderBy("wave_seq")
-            .collect()
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
-        admitted: list[int] = []
-        so_far = 0
-        for r in meta:
-            crawled_at_p = crawled + int(r["parent_k"]) + 1
-            remaining_after_p = n_wave - int(r["parent_q"]) - 1
-            if crawled_at_p + remaining_after_p + so_far < self.cfg.max_pages:
-                admitted.append(int(r["wave_seq"]))
-                so_far += 1
-        if not admitted:
-            return cand_indexed.limit(0)
-        adm_df = self.spark.createDataFrame(
-            [(a,) for a in admitted], schema="wave_seq long"
+        prev_min = F.least(F.coalesce(F.min("_s").over(w), BIG), F.col("_pref"))
+        # A(j-1) = (j-1) + min(0, prevM);  admit iff A(j-1) < t_j
+        kept = (
+            d.withColumn(
+                "_admit",
+                (F.col("wave_seq") + F.least(F.lit(0).cast("long"), prev_min)) < F.col("_t"),
+            )
+            .filter(F.col("_admit"))
+            .drop("_admit", "_t", "_s", "_pid", "_pref")
         )
-        kept = cand_indexed.join(F.broadcast(adm_df), "wave_seq", "left_semi")
         # re-densify wave_seq so queue positions stay exact for the next wave
         kept, _ = with_global_index(kept, ["wave_seq"], "_ws")
         return kept.drop("wave_seq").withColumnRenamed("_ws", "wave_seq")
@@ -401,7 +449,13 @@ class CrawlEngine:
 
     # -- scheduler (priority-frontier) mode --------------------------------------
 
-    def run_scheduler(self, seeds: list[str], resume: bool = False, max_epochs: int = 10_000) -> dict:
+    def run_scheduler(
+        self,
+        seeds: list[str],
+        resume: bool = False,
+        max_epochs: int = 10_000,
+        collect_waves: bool = False,
+    ) -> dict:
         cfg, spark, store = self.cfg, self.spark, self.store
         t0 = time.monotonic()
 
@@ -445,7 +499,6 @@ class CrawlEngine:
                 store.write_bloom(0, bloom)
             store.commit({"epoch": 0, "crawled": 0, "seq": seq_counter, "mode": "sched"})
 
-        waves: list[list[tuple[str, int]]] = []
         while crawled < cfg.max_pages and epoch < max_epochs:
             n_front = frontier.count()
             if n_front == 0:
@@ -607,10 +660,6 @@ class CrawlEngine:
             self.stats.per_epoch.append(
                 {"epoch": epoch, "issued": n_issued, "crawled": n_crawl, "admitted": n_adm}
             )
-            wave_rows = (
-                fetched.select("crawl_order", "url", "depth").orderBy("crawl_order").collect()
-            )
-            waves.append([(r["url"], r["depth"]) for r in wave_rows])
             fetched.unpersist()
             links.unpersist()
             unpersist_all()
@@ -620,7 +669,23 @@ class CrawlEngine:
         self.stats.crawled = crawled
         self.stats.wall_seconds = time.monotonic() - t0
         out = self._outputs(epoch)
-        out["waves"] = waves
+        if collect_waves:
+            # oracle-equality diagnostics only: one driver collect at the END
+            # of the run, reconstructed from the epoch-stamped seen deltas.
+            # The hot loop itself never collects (at the 10^10 design point
+            # this opt-in is a test-scale tool, never production state).
+            rows = (
+                out["seen"]
+                .select("epoch", "crawl_order", "url", "depth")
+                .orderBy("crawl_order")
+                .collect()
+            )
+            by_epoch: dict[int, list[tuple[str, int]]] = {}
+            for r in rows:
+                by_epoch.setdefault(int(r["epoch"]), []).append((r["url"], int(r["depth"])))
+            out["waves"] = [
+                by_epoch.get(e["epoch"], []) for e in self.stats.per_epoch
+            ]
         return out
 
     def _admission_filters(self, df: DataFrame) -> DataFrame:

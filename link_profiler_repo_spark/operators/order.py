@@ -27,6 +27,13 @@ from pyspark.storagelevel import StorageLevel
 _PERSISTED: list[DataFrame] = []
 
 
+def track_persist(df: DataFrame) -> DataFrame:
+    """Register an externally persisted intermediate for release at the next
+    unpersist_all() barrier."""
+    _PERSISTED.append(df)
+    return df
+
+
 def unpersist_all() -> None:
     while _PERSISTED:
         try:
