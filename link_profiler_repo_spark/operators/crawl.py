@@ -31,6 +31,7 @@ retry demotion + dead-letter (:182-192).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -71,6 +72,8 @@ class CrawlEngine:
         robots_df: DataFrame | None = None,
         use_bloom: bool = True,
         bloom_bits: int = 1 << 23,
+        bloom_layout: str = "single",
+        bloom_buckets: int = 64,
         canonical_mode: str = "identity",
         small_wave_threshold: int = 100_000,
         compact_every: int = 0,
@@ -85,6 +88,13 @@ class CrawlEngine:
         self.store = StateStore(workdir, cfg.job_id)
         self.use_bloom = use_bloom
         self.bloom_bits = bloom_bits
+        # 'single': one broadcast bitmap (fine to ~10^8 seen). 'sidecar':
+        # bucket-partitioned bitmap table — each probe task loads only its
+        # bucket's files; the layout that survives 10^10 (bloom_sidecar.py).
+        self.bloom_layout = bloom_layout
+        self.bloom_buckets = bloom_buckets
+        self._sidecar_path = os.path.join(self.store.dir, "bloom_sidecar")
+        self._sidecar_mbits = max(64, bloom_bits // max(bloom_buckets, 1))
         self.canonical_mode = canonical_mode
         # waves below this row count use single-partition ordering + writes
         # (1 job instead of 3; identical semantics — see order.with_global_index)
@@ -137,13 +147,24 @@ class CrawlEngine:
 
     def _not_seen(self, df: DataFrame, seen: DataFrame | None, bloom: np.ndarray | None) -> DataFrame:
         """Exact anti-join vs seen, Bloom-prefiltered: definite-new rows skip
-        the shuffle; possible-positives fall through to the exact join."""
+        the shuffle; possible-positives fall through to the exact join.
+        False positives only cost join work; false negatives are impossible,
+        so the exact-seen-set contract is unaffected by the prefilter."""
         if seen is None:
             return df
         seen_keys = seen.select("url_hash")
-        if bloom is not None and self.use_bloom:
-            probe = might_contain_udf(bloom, self.bloom_bits)
+        flagged = None
+        if self.use_bloom and self.bloom_layout == "sidecar" and os.path.isdir(self._sidecar_path):
+            from ..functions import bloom_sidecar
+
+            flagged = bloom_sidecar.probe(
+                df, "xx64", self._sidecar_path,
+                n_buckets=self.bloom_buckets, m_bits=self._sidecar_mbits,
+            )
+        elif bloom is not None and self.use_bloom:
+            probe = might_contain_udf(bloom, self.bloom_bits, spark=self.spark)
             flagged = df.withColumn("_maybe", probe(F.col("xx64")))
+        if flagged is not None:
             sure_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
             maybe = (
                 flagged.filter(F.col("_maybe"))
@@ -152,6 +173,21 @@ class CrawlEngine:
             )
             return sure_new.unionByName(maybe)
         return df.join(seen_keys, "url_hash", "left_anti")
+
+    def _bloom_insert(self, bloom: np.ndarray | None, df: DataFrame) -> np.ndarray | None:
+        """Insert df's xx64 keys into the active bloom layout; returns the
+        updated single bitmap (sidecar state lives on disk)."""
+        if not self.use_bloom:
+            return bloom
+        if self.bloom_layout == "sidecar":
+            from ..functions import bloom_sidecar
+
+            bloom_sidecar.append_delta(
+                df.select("xx64"), "xx64", self._sidecar_path,
+                n_buckets=self.bloom_buckets, m_bits=self._sidecar_mbits,
+            )
+            return bloom
+        return add_to_bloom(bloom, df, "xx64", self.bloom_bits)
 
     def _log_metrics(self, epoch: int, stages: list[tuple[str, DataFrame]]) -> None:
         """Per-partition lineage counters (north_rule): one write per epoch,
@@ -197,7 +233,11 @@ class CrawlEngine:
             frontier = self._seed_frontier(seeds)
             store.write_epoch("frontier", 0, frontier)
             frontier = store.read_epoch(spark, "frontier", 0)
-            bloom = np.zeros(self.bloom_bits // 8, dtype=np.uint8) if self.use_bloom else None
+            bloom = (
+                np.zeros(self.bloom_bits // 8, dtype=np.uint8)
+                if self.use_bloom and self.bloom_layout == "single"
+                else None
+            )
             if bloom is not None:
                 store.write_bloom(0, bloom)
             store.commit({"epoch": 0, "crawled": 0, "mode": "bfs"})
@@ -330,8 +370,8 @@ class CrawlEngine:
                     self._bucketed.append(keys)
                 else:
                     self._bucketed.init(keys)
+            bloom = self._bloom_insert(bloom, seen_delta)
             if bloom is not None:
-                bloom = add_to_bloom(bloom, seen_delta, "xx64", self.bloom_bits)
                 store.write_bloom(epoch, bloom)
             self._log_metrics(epoch, [("crawled", fetched), ("scheduled", nxt)])
 
@@ -493,9 +533,14 @@ class CrawlEngine:
             frontier = store.read_epoch(spark, "frontier_sched", 0)
             # 'enqueued' admission-dedup state (scheduler mode dedups at admission)
             store.write_epoch("enqueued", 0, frontier.select("url_hash", "xx64", F.lit(0).alias("epoch")))
-            bloom = np.zeros(self.bloom_bits // 8, dtype=np.uint8) if self.use_bloom else None
+            bloom = (
+                np.zeros(self.bloom_bits // 8, dtype=np.uint8)
+                if self.use_bloom and self.bloom_layout == "single"
+                else None
+            )
+            if self.use_bloom:
+                bloom = self._bloom_insert(bloom, frontier)
             if bloom is not None:
-                bloom = add_to_bloom(bloom, frontier, "xx64", self.bloom_bits)
                 store.write_bloom(0, bloom)
             store.commit({"epoch": 0, "crawled": 0, "seq": seq_counter, "mode": "sched"})
 
@@ -645,13 +690,8 @@ class CrawlEngine:
                 cand.select("url_hash", "xx64").withColumn("epoch", F.lit(epoch)),
                 coalesce=1 if small else None,
             )
+            bloom = self._bloom_insert(bloom, cand.select("xx64"))
             if bloom is not None:
-                bloom = add_to_bloom(
-                    bloom,
-                    cand.select("xx64"),
-                    "xx64",
-                    self.bloom_bits,
-                )
                 store.write_bloom(epoch, bloom)
             self._log_metrics(epoch, [("crawled", fetched), ("scheduled", nxt)])
 

@@ -52,3 +52,30 @@ class BucketedSeenTable:
 
     def drop(self) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.name}")
+
+
+def register_external_bucketed(
+    spark: SparkSession,
+    name: str,
+    location: str,
+    schema_source: DataFrame,
+    bucket_col: str = "url_hash",
+    buckets: int = 32,
+) -> DataFrame:
+    """Register an EXTERNAL bucketed+sorted parquet table over an existing
+    location (the local-metastore rendering of attaching an Iceberg table
+    whose partition spec is bucket(N, url_hash)): the bucket metadata lives in
+    the catalog, so a fresh session — e.g. each bench subprocess — can reuse
+    previously written bucket files with zero-Exchange joins on the bucket
+    key. The data at `location` must have been written with an identical
+    bucketBy(buckets, bucket_col).sortBy(bucket_col) spec."""
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema_source.schema.fields
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"""CREATE TABLE {name} ({cols}) USING PARQUET
+            CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) INTO {buckets} BUCKETS
+            LOCATION '{location}'"""
+    )
+    return spark.table(name)
