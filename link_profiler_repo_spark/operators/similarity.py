@@ -92,47 +92,113 @@ def make_centroids(dim: int, nlist: int, seed: int = 42) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def train_centroids(
+    vectors: DataFrame,
+    nlist: int,
+    vec_col: str = "embedding",
+    sample_n: int = 50_000,
+    iters: int = 3,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means on a driver-side SAMPLE (centroids are tiny; the
+    sample is bounded by sample_n regardless of table size — the one place a
+    bounded collect is the right tool, same as Spark MLlib's own k-means||
+    init). Lloyd iterations run in numpy; empty cells are re-seeded from the
+    farthest points so nlist cells stay populated. Deterministic for a fixed
+    seed + input."""
+    n = vectors.count()
+    frac = min(1.0, (sample_n * 1.2) / max(n, 1))
+    sample = (
+        vectors.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_n).collect()
+    )
+    m = np.array([r[vec_col] for r in sample], dtype=np.float32)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=min(nlist, len(m)), replace=False)].copy()
+    if len(cent) < nlist:  # degenerate tiny input: pad with random directions
+        pad = make_centroids(m.shape[1], nlist - len(cent), seed)
+        cent = np.vstack([cent, pad])
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        sims = (m * cent[assign]).sum(axis=1)
+        for c in range(nlist):
+            sel = assign == c
+            if sel.any():
+                v = m[sel].sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 1e-12:
+                    cent[c] = v / nv
+            else:  # re-seed empty cell from the worst-assigned point
+                w = int(np.argmin(sims))
+                cent[c] = m[w]
+                sims[w] = 1.0
+    return cent.astype(np.float32)
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    nlist: int = 16,
-    nprobe: int = 4,
+    nlist: int | None = None,
+    nprobe: int | None = None,
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    centroids: np.ndarray | None = None,
+    assign_replicas: int = 2,
 ) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest centroid (one
-    vectorized numpy pass over Arrow batches), probe the nprobe nearest cells
-    per query. Recall < 1 by design; brute_force_topk is the oracle."""
-    centroids = make_centroids(dim, nlist)
+    """IVF-style ANN: k-means-TRAINED centroids (sampled spherical Lloyd,
+    VERDICT r01 #10 — untrained random centroids collapse recall on real
+    distributions), nlist ~ sqrt(N) by default; every vector is assigned to
+    its assign_replicas nearest cells (multi-assignment — the standard recall
+    lever for high-dim near-uniform data, storage x replicas) in one
+    vectorized numpy pass over Arrow batches, and queries probe the nprobe
+    nearest cells. Recall < 1 by design; brute_force_topk is the oracle."""
+    if centroids is None:
+        if nlist is None:
+            nlist = max(4, int(vectors.count() ** 0.5))
+        centroids = train_centroids(vectors, nlist, vec_col=vec_col)
+    nlist = centroids.shape[0]
+    if nprobe is None:
+        # adaptive default tuned for the WORST case (near-uniform highdim
+        # embeddings, where neighbors scatter across cells): ~36% of cells
+        # probed x2 replicas => recall@10 >= 0.9 on uniform gaussian data;
+        # clustered real corpora reach that with far smaller nprobe.
+        nprobe = max(4, round(nlist * 0.36))
+    nprobe = min(nprobe, nlist)
+    n_assign = min(max(assign_replicas, 1), nlist)
 
-    @F.pandas_udf(T.IntegerType())
-    def cell_udf(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype(np.float32)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(m @ centroids.T, axis=1).astype(np.int32), index=vecs.index)
+    def _top_cells(n: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def top_cells(vecs: pd.Series) -> pd.Series:
+            m = np.stack(vecs.to_numpy()).astype(np.float32)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ centroids.T
+            if n == 1:
+                order = np.argmax(sims, axis=1).astype(np.int32)[:, None]
+            else:
+                order = np.argpartition(-sims, n - 1, axis=1)[:, :n].astype(np.int32)
+            return pd.Series(list(order), index=vecs.index, dtype=object)
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def probe_udf(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype(np.float32)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(m @ centroids.T), axis=1)[:, :nprobe].astype(np.int32)
-        return pd.Series(list(order), index=vecs.index, dtype=object)
+        return top_cells
 
-    assigned = vectors.withColumn("cell", cell_udf(F.col(vec_col)))
+    assigned = vectors.withColumn(
+        "cell", F.explode(_top_cells(n_assign)(F.col(vec_col)))
+    )
     q = queries.select(
         F.col(q_id_col).alias("q_id"),
         F.col(q_vec_col).alias("q_vec"),
-        F.explode(probe_udf(F.col(q_vec_col))).alias("cell"),
+        F.explode(_top_cells(nprobe)(F.col(q_vec_col))).alias("cell"),
     )
     scored = assigned.join(F.broadcast(q), "cell").select(
         "q_id",
         F.col(id_col).alias("vec_id"),
         _cos(F.col(vec_col), F.col("q_vec")).alias("cosine"),
     )
+    if n_assign > 1:  # a replica pair can match in several cells — dedup
+        scored = scored.dropDuplicates(["q_id", "vec_id"])
     packed = scored.groupBy("q_id").agg(
         F.slice(
             F.sort_array(F.collect_list(F.struct("cosine", "vec_id")), asc=False), 1, k
