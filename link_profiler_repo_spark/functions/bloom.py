@@ -94,7 +94,7 @@ def might_contain_udf(bitmap: np.ndarray, m_bits: int, k: int = 4, spark=None):
     the fallback for session-less callers (tests)."""
     if spark is not None:
         bc = spark.sparkContext.broadcast(bitmap.tobytes())
-        key = bc.id
+        key = int(bc._jbroadcast.id())  # stable across driver/worker pickling
 
         @F.pandas_udf(T.BooleanType())
         def probe(xx: pd.Series) -> pd.Series:

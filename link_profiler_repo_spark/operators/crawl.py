@@ -551,9 +551,33 @@ class CrawlEngine:
             small = n_front < self.small_wave_threshold
             epoch += 1
 
+            # circuit breaker (distributed_circuit_breaker.py:22-118 via
+            # streaming/stream.py host_state semantics): hosts whose
+            # cumulative fetch failures BEFORE this epoch reached the
+            # threshold are not issued; their queued tasks stay in the
+            # frontier (leftover keeps them automatically)
+            base = frontier
+            prior_seen = store.read_deltas(spark, "seen", epoch - 1)
+            if prior_seen is not None:
+                from ..streaming.stream import FAILURE_THRESHOLD
+
+                open_hosts = (
+                    prior_seen.select(
+                        url_host("url").alias("host"), "status_code"
+                    )
+                    .groupBy("host")
+                    .agg(
+                        F.sum(
+                            F.when(F.col("status_code") >= 400, 1).otherwise(0)
+                        ).alias("_fails")
+                    )
+                    .filter(F.col("_fails") >= F.lit(FAILURE_THRESHOLD))
+                    .select("host")
+                )
+                base = base.join(F.broadcast(open_hosts), "host", "left_anti")
+
             # W2+W3: politeness-budget wave via salted per-host top-k
             # (skew-safe; identical result to the naive host window)
-            base = frontier
             if robots is not None:
                 base = base.join(
                     F.broadcast(robots.select("host", "crawl_delay")), "host", "left"
@@ -639,6 +663,12 @@ class CrawlEngine:
                     (F.col("depth") + 1).alias("depth"),
                 )
             )
+            # W4 input: inbound-link count across the WHOLE wave, counted
+            # before any admission filter (ai/crawl_optimizer.py backlink
+            # boost; oracle_sim counts the same pre-filter link events)
+            cand = cand.withColumn(
+                "_bl", F.count("*").over(Window.partitionBy("url"))
+            )
             cand = self._with_keys(cand)
             cand = self._admission_filters(cand)
             enq = store.read_deltas(spark, "enqueued", epoch - 1)
@@ -649,7 +679,36 @@ class CrawlEngine:
                 cand.withColumn("_rn", F.row_number().over(wq))
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
-                .withColumn("priority", F.least(F.lit(4), F.col("depth") + 1))
+            )
+            # W4: priority from the crawl-optimizer score (depth decay +
+            # backlink boost + target-host error rate through THIS epoch),
+            # wired into admission (VERDICT r01 #7; frontier.py:57-89)
+            from .frontier import priority_score, score_to_priority
+
+            cur_seen = store.read_deltas(spark, "seen", epoch)
+            host_err = (
+                cur_seen.select(url_host("url").alias("host"), "status_code")
+                .groupBy("host")
+                .agg(
+                    (
+                        F.sum(F.when(F.col("status_code") >= 400, 1).otherwise(0))
+                        / F.count("*")
+                    ).alias("_err")
+                )
+            )
+            cand = (
+                cand.join(F.broadcast(host_err), "host", "left")
+                .withColumn(
+                    "priority",
+                    score_to_priority(
+                        priority_score(
+                            F.col("depth"),
+                            backlink_count=F.col("_bl"),
+                            error_rate=F.coalesce(F.col("_err"), F.lit(0.0)),
+                        )
+                    ),
+                )
+                .drop("_bl", "_err")
                 .withColumn("retries", F.lit(0))
             )
 

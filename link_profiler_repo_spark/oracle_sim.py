@@ -132,6 +132,7 @@ def simulate_bfs(
 # ---------------------------------------------------------------------------
 
 PRIORITY_LOW = 4
+CB_FAILURE_THRESHOLD = 5  # utils/distributed_circuit_breaker.py default
 
 
 def default_priority(depth: int) -> int:
@@ -139,6 +140,25 @@ def default_priority(depth: int) -> int:
     ai/crawl_optimizer.py:41-103 base score decays 10/depth — rendered as an
     integer priority ladder here)."""
     return min(PRIORITY_LOW, 1 + depth)
+
+
+def scored_priority(depth: int, backlink_count: int, error_rate: float) -> int:
+    """W4 — the deterministic rendering of ai/crawl_optimizer.py:41-103
+    wired into admission (VERDICT r01 #7): base 100, -10 per depth level,
+    +20 backlink boost, -error_rate*100; mapped onto the 1..4 Priority
+    ladder (operators/frontier.py score_to_priority, kept in exact lockstep
+    with this function)."""
+    score = 100.0 - 10.0 * depth
+    if backlink_count > 0:
+        score += 20.0
+    score -= error_rate * 100.0
+    if score >= 90:
+        return 1
+    if score >= 70:
+        return 2
+    if score >= 50:
+        return 3
+    return PRIORITY_LOW
 
 
 @dataclass
@@ -197,6 +217,9 @@ def simulate_scheduler(
     waves: list[list[tuple[str, int]]] = []
     order: list[tuple[int, str, int]] = []
     crawled = 0
+    # per-host cumulative fetch/failure counters (circuit breaker + W4 input)
+    host_fetches: dict[str, int] = {}
+    host_failures: dict[str, int] = {}
 
     def admit(url: str, depth: int, priority: int, retries: int = 0) -> None:
         nonlocal seq
@@ -215,15 +238,19 @@ def simulate_scheduler(
         seq += 1
 
     for s in seeds:
-        admit(s, 0, default_priority(0))
+        admit(s, 0, scored_priority(0, 0, 0.0))
 
     for _epoch in range(max_epochs):
         if crawled >= cfg.max_pages or not any(buckets.values()):
             break
-        # budget per host this epoch
+        # budget per host this epoch; circuit-breaker-open hosts (cumulative
+        # failures BEFORE this epoch >= threshold) are not issued — their
+        # queued tasks stay put (distributed_circuit_breaker.py:22-118)
         issued: list[tuple[int, str, int, SchedTask]] = []  # (priority, host, rank, task)
         for h, tasks in buckets.items():
             if not tasks:
+                continue
+            if host_failures.get(h, 0) >= CB_FAILURE_THRESHOLD:
                 continue
             d = _crawl_delay(h, robots, cfg)
             budget = min(cfg.host_budget, int(cfg.epoch_seconds // max(d, 1e-9)))
@@ -238,6 +265,10 @@ def simulate_scheduler(
         remaining = cfg.max_pages - crawled
         issued = issued[:remaining]
         wave: list[tuple[str, int]] = []
+        # first pass: fetch the wave, record outcomes + admission EVENTS in
+        # order; W4 inputs (wave backlink counts, post-wave error rates) are
+        # wave-global, so admission priorities are computed after the pass
+        events: list[tuple] = []  # ("link", url, depth) | ("retry", task)
         for _, h, _, t in issued:
             buckets[h].remove(t)
             if t.depth >= cfg.max_depth:
@@ -247,21 +278,35 @@ def simulate_scheduler(
             order.append((crawled - 1, t.url, t.depth))
             wave.append((t.url, t.depth))
             st = fetch_status(t.url, doc_urls, _host_idx(t.url), p)
+            th = _host(t.url)
+            host_fetches[th] = host_fetches.get(th, 0) + 1
+            if st >= 400:
+                host_failures[th] = host_failures.get(th, 0) + 1
             if st == 200:
                 for l in parse_links(t.url, docs[t.url]):
                     if l["from_tag"] != "a":
                         continue
-                    admit(l["href"], t.depth + 1, default_priority(t.depth + 1))
+                    events.append(("link", l["href"], t.depth + 1))
             elif st in (408, 500, 502, 503, 504):
                 if t.retries < cfg.max_retries:
-                    admit(
-                        t.url,
-                        t.depth,
-                        min(PRIORITY_LOW, t.priority + 1),
-                        retries=t.retries + 1,
-                    )
+                    events.append(("retry", t))
                 else:
                     dead.append((t.url, t.retries))
+        # W4 inputs over the whole wave
+        bl_count: dict[str, int] = {}
+        for kind, *rest in events:
+            if kind == "link":
+                bl_count[rest[0]] = bl_count.get(rest[0], 0) + 1
+        # second pass: admit in event order with scored priorities
+        for ev in events:
+            if ev[0] == "link":
+                _, url, depth = ev
+                h = _host(url)
+                err = host_failures.get(h, 0) / host_fetches.get(h, 1) if host_fetches.get(h, 0) else 0.0
+                admit(url, depth, scored_priority(depth, bl_count.get(url, 0), err))
+            else:
+                t = ev[1]
+                admit(t.url, t.depth, min(PRIORITY_LOW, t.priority + 1), retries=t.retries + 1)
         waves.append(wave)
 
     return SchedResult(waves=waves, order=order, seen=seen, dead_letter=dead)
