@@ -511,6 +511,102 @@ SPARK_QUERIES = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Crawl-output analytics with REAL SQL oracles: the (deterministic) crawl
+# writes its enriched edge table to a fixed parquet path; Spark and DuckDB
+# aggregate the same bytes independently (the crawl itself is oracle-verified
+# by the pytest equality suites; these rows verify the analytics over its
+# actual output schema — discovered_at/http_status/spam_level, VERDICT r01 #8)
+# ---------------------------------------------------------------------------
+
+_GATE_EDGES_PATH = "/tmp/spark_graft_gate_edges"
+
+
+def _crawled_edges(spark):
+    out = _crawl_outputs(spark)
+    out["edges"].coalesce(1).write.mode("overwrite").parquet(_GATE_EDGES_PATH)
+    return spark.read.parquet(_GATE_EDGES_PATH)
+
+
+def q_crawl_link_velocity(spark, sf_dir):
+    """A5 over real crawl output: per-epoch-timestamp link discovery counts
+    per target host (api/analytics.py:40-66 velocity shape)."""
+    e = _crawled_edges(spark)
+    return e.groupBy("dst_host", "discovered_at").agg(
+        F.count("*").alias("n_links"),
+        F.count_distinct("src_host").alias("n_sources"),
+    )
+
+
+SQL_CRAWL_LINK_VELOCITY = f"""
+SELECT dst_host, discovered_at,
+       COUNT(*) AS n_links, COUNT(DISTINCT src_host) AS n_sources
+FROM read_parquet('{_GATE_EDGES_PATH}/*.parquet')
+GROUP BY 1, 2
+"""
+
+
+def q_crawl_edge_quality(spark, sf_dir):
+    """P9 surface over real crawl output: spam-level x link-type histogram
+    with status breakdown (crawl_service.py:411-436 quality gate inputs)."""
+    e = _crawled_edges(spark)
+    return e.groupBy("spam_level", "link_type", "http_status").agg(
+        F.count("*").alias("n_edges"),
+        F.count_distinct("dst").alias("n_targets"),
+    )
+
+
+SQL_CRAWL_EDGE_QUALITY = f"""
+SELECT spam_level, link_type, http_status,
+       COUNT(*) AS n_edges, COUNT(DISTINCT dst) AS n_targets
+FROM read_parquet('{_GATE_EDGES_PATH}/*.parquet')
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# J6: keyword-gap competitive analysis (core/models.py:624-644) over keyword
+# sets derived deterministically from the documents corpus
+# ---------------------------------------------------------------------------
+
+def q_keyword_gap(spark, sf_dir):
+    from .operators.keywords import doc_keywords, keyword_gap
+
+    d = load(spark, sf_dir, "documents")
+    return keyword_gap(doc_keywords(d, n_domains=16, n_gram=3), primary="d0")
+
+
+SQL_KEYWORD_GAP = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), '\s+'),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+), kw AS (
+  SELECT DISTINCT 'd' || CAST(doc_id % 16 AS VARCHAR) AS domain,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS keyword
+  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+), prim AS (SELECT keyword FROM kw WHERE domain = 'd0'),
+   comp AS (SELECT domain, keyword FROM kw WHERE domain <> 'd0')
+SELECT domain, keyword, 'common' AS category FROM comp
+WHERE keyword IN (SELECT keyword FROM prim)
+UNION ALL
+SELECT domain, keyword, 'gap' AS category FROM comp
+WHERE keyword NOT IN (SELECT keyword FROM prim)
+UNION ALL
+SELECT 'd0' AS domain, keyword, 'primary_unique' AS category FROM prim
+WHERE keyword NOT IN (SELECT keyword FROM comp)
+"""
+
+SQL_ORACLES["keyword_gap"] = SQL_KEYWORD_GAP
+SPARK_QUERIES["keyword_gap"] = q_keyword_gap
+
+SQL_ORACLES["crawl_link_velocity"] = SQL_CRAWL_LINK_VELOCITY
+SQL_ORACLES["crawl_edge_quality"] = SQL_CRAWL_EDGE_QUALITY
+SPARK_QUERIES["crawl_link_velocity"] = q_crawl_link_velocity
+SPARK_QUERIES["crawl_edge_quality"] = q_crawl_edge_quality
+
+
 # -- crawl-native queries (rows-only driver check; exact oracles in pytest) --
 
 def _crawl_outputs(spark, n_docs=80, n_hosts=6, max_depth=3, max_pages=60):

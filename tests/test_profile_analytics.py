@@ -111,3 +111,28 @@ def test_queue_stats_and_success_rate(spark):
     assert rates[("h1", 2)] == 0.5
     assert rates[("h1", 3)] == 0.5
     assert rates[("h2", 1)] == 0.0
+
+
+def test_keyword_gap_golden(spark):
+    """J6 keyword-gap semantics (core/models.py:624-644) on a constructed
+    fixture: per-competitor common/gap plus primary-unique."""
+    from link_profiler_repo_spark.operators.keywords import keyword_gap
+
+    rows = [
+        ("p", "alpha"), ("p", "beta"), ("p", "gamma"),
+        ("c1", "alpha"), ("c1", "delta"),
+        ("c2", "beta"), ("c2", "alpha"), ("c2", "epsilon"),
+    ]
+    df = spark.createDataFrame(rows, schema="domain string, keyword string")
+    got = {
+        (r["domain"], r["keyword"], r["category"])
+        for r in keyword_gap(df, primary="p").collect()
+    }
+    assert got == {
+        ("c1", "alpha", "common"),
+        ("c2", "alpha", "common"),
+        ("c2", "beta", "common"),
+        ("c1", "delta", "gap"),
+        ("c2", "epsilon", "gap"),
+        ("p", "gamma", "primary_unique"),
+    }
