@@ -26,6 +26,11 @@ class CrawlConfig:
     disallowed_paths: tuple[str, ...] = ()
     max_retries: int = 3
     retry_delay_seconds: float = 5.0
+    # P10 content-size guard (reference CrawlConfig size cap semantics,
+    # crawlers/web_crawler.py response-size check): a 200 page whose total
+    # text-span length exceeds this is counted as crawled but yields no
+    # links. None = disabled (the reference default behavior).
+    max_content_chars: int | None = None
     # queue_system.domain_max_concurrent (config.yaml:342): per-host admissions
     # per scheduling epoch in the scheduler mode.
     host_budget: int = 2

@@ -59,6 +59,21 @@ def full_seo_audit(spark: SparkSession, docs_df, seeds, cfg, **kw):
     return out
 
 
+def pop_next_job(jobs_df):
+    """T5 (job_coordinator.py pop ordering / smart_crawler_queue priority
+    pop): the next pending job = smallest priority value, FIFO within
+    priority (created_at, then job_id as the total-order tiebreak). Plans as
+    TakeOrderedAndProject — a per-partition top-1 merged on the driver, no
+    global sort materialization."""
+    import pyspark.sql.functions as F
+
+    return (
+        jobs_df.filter(F.col("status") == "pending")
+        .orderBy(F.asc("priority"), F.asc("created_at"), F.asc("job_id"))
+        .limit(1)
+    )
+
+
 JOB_TYPES = {
     "backlink_discovery": backlink_discovery,
     "link_health_audit": link_health_audit,

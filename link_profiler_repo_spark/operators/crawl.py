@@ -59,6 +59,7 @@ class CrawlStats:
     scheduled: int = 0  # candidate URLs pushed through schedule+dedup (bench metric)
     wall_seconds: float = 0.0
     per_epoch: list = field(default_factory=list)
+    stopped: str = ""  # ''|'paused'|'cancelled' — job-control interruption
 
 
 class CrawlEngine:
@@ -154,6 +155,21 @@ class CrawlEngine:
             F.lit(200).alias("http_status"),
             spam.alias("spam_level"),
         ]
+
+    def _pages_for_extraction(self, fetched: DataFrame, cols: list[str]) -> DataFrame:
+        """Successful fetches eligible for link extraction; the P10
+        content-size guard drops oversized pages here (they stay crawled and
+        counted — only their links are discarded, mirroring the reference's
+        response-size bail-out in crawlers/web_crawler.py)."""
+        pages = fetched.filter(F.col("status_code") == 200)
+        if self.cfg.max_content_chars is not None:
+            size = F.aggregate(
+                F.transform(F.col("spans"), lambda s: F.coalesce(F.length(s["text"]), F.lit(0))),
+                F.lit(0),
+                lambda a, x: a + x,
+            )
+            pages = pages.filter(size <= F.lit(self.cfg.max_content_chars))
+        return pages.select(*cols)
 
     def _status_col(self) -> F.Column:
         """Deterministic fetch outcome, mirroring synth.fetch_status: flaky
@@ -277,6 +293,10 @@ class CrawlEngine:
         while crawled < cfg.max_pages:
             if n_wave == 0:
                 break
+            ctl = store.read_control()  # pause/cancel (job_coordinator.py:282-369)
+            if ctl in ("paused", "cancelled"):
+                self.stats.stopped = ctl
+                break
             epoch += 1
             if self._bucketed is not None and self._bucketed.exists():
                 seen = self._bucketed.df()
@@ -316,8 +336,8 @@ class CrawlEngine:
             )
             store.write_epoch("seen", epoch, seen_delta, coalesce=1 if small else None)
 
-            pages = fetched.filter(F.col("status_code") == 200).select(
-                "url", "wave_seq", "crawl_idx", "depth", "spans"
+            pages = self._pages_for_extraction(
+                fetched, ["url", "wave_seq", "crawl_idx", "depth", "spans"]
             )
             links = (
                 with_links(pages, doc_col="url")
@@ -570,6 +590,10 @@ class CrawlEngine:
             store.commit({"epoch": 0, "crawled": 0, "seq": seq_counter, "mode": "sched"})
 
         while crawled < cfg.max_pages and epoch < max_epochs:
+            ctl = store.read_control()  # pause/cancel (job_coordinator.py:282-369)
+            if ctl in ("paused", "cancelled"):
+                self.stats.stopped = ctl
+                break
             n_front = frontier.count()
             if n_front == 0:
                 break
@@ -649,8 +673,8 @@ class CrawlEngine:
             )
             store.write_epoch("seen", epoch, seen_delta, coalesce=1 if small else None)
 
-            pages = fetched.filter(F.col("status_code") == 200).select(
-                "url", "wave_idx", "depth", "spans"
+            pages = self._pages_for_extraction(
+                fetched, ["url", "wave_idx", "depth", "spans"]
             )
             links = (
                 with_links(pages, doc_col="url")

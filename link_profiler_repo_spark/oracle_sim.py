@@ -93,6 +93,11 @@ def simulate_bfs(
         st = fetch_status(url, doc_urls, _host_idx(url), p)
         status[url] = st
         links = []
+        if st == 200 and cfg.max_content_chars is not None:
+            # P10 content-size guard: oversized page stays crawled/counted,
+            # yields no links or edges (web_crawler.py size bail-out)
+            if sum(len(t) for (_k, t, _m, _o) in docs[url]) > cfg.max_content_chars:
+                st = -200  # sentinel: skip extraction below
         if st == 200:
             all_links = parse_links(url, docs[url])
             # crawl path extracts only <a> tags (web_crawler.py:335 regex)
@@ -282,6 +287,9 @@ def simulate_scheduler(
             host_fetches[th] = host_fetches.get(th, 0) + 1
             if st >= 400:
                 host_failures[th] = host_failures.get(th, 0) + 1
+            if st == 200 and cfg.max_content_chars is not None:
+                if sum(len(tx) for (_k, tx, _m, _o) in docs[t.url]) > cfg.max_content_chars:
+                    st = -200  # P10: crawled but yields no links
             if st == 200:
                 for l in parse_links(t.url, docs[t.url]):
                     if l["from_tag"] != "a":

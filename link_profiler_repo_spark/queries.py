@@ -601,6 +601,40 @@ WHERE keyword NOT IN (SELECT keyword FROM comp)
 SQL_ORACLES["keyword_gap"] = SQL_KEYWORD_GAP
 SPARK_QUERIES["keyword_gap"] = q_keyword_gap
 
+
+# ---------------------------------------------------------------------------
+# W6 as a real operator: domain-history latest-N snapshots
+# (database/database.py:511-513) — events rendered as a history table
+# ---------------------------------------------------------------------------
+
+def q_history_latest(spark, sf_dir):
+    from .operators.history import domain_history_latest
+
+    e = load(spark, sf_dir, "events")
+    hist = e.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 20).cast("string")).alias("domain"),
+        F.col("ts").alias("snapshot_ts"),
+        F.col("event_id"),
+        F.round("value", 6).alias("metric"),
+    )
+    return domain_history_latest(hist, n=3, tiebreak=["event_id"]).select(
+        "domain", "snapshot_ts", "event_id", "metric", "rn"
+    )
+
+
+SQL_HISTORY_LATEST = """
+SELECT domain, snapshot_ts, event_id, metric, rn FROM (
+  SELECT 'd' || CAST(user_id % 20 AS VARCHAR) AS domain,
+         ts AS snapshot_ts, event_id, ROUND(value, 6) AS metric,
+         ROW_NUMBER() OVER (PARTITION BY 'd' || CAST(user_id % 20 AS VARCHAR)
+                            ORDER BY ts DESC, event_id ASC) AS rn
+  FROM events) t
+WHERE rn <= 3
+"""
+
+SQL_ORACLES["history_latest"] = SQL_HISTORY_LATEST
+SPARK_QUERIES["history_latest"] = q_history_latest
+
 SQL_ORACLES["crawl_link_velocity"] = SQL_CRAWL_LINK_VELOCITY
 SQL_ORACLES["crawl_edge_quality"] = SQL_CRAWL_EDGE_QUALITY
 SPARK_QUERIES["crawl_link_velocity"] = q_crawl_link_velocity

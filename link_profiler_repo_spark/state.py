@@ -59,6 +59,30 @@ class StateStore:
             json.dump(meta, f)
         os.replace(tmp, self._ckpt_path)
 
+    # -- job control (pause/resume/cancel) -------------------------------------
+    # The reference drives these over Redis pub/sub (job_coordinator.py:
+    # 282-369); here the control channel is a tmp+rename file polled at every
+    # epoch boundary — the only safe preemption points in an exactly-once
+    # epoch loop. 'paused' stops after the current epoch's commit (resume
+    # picks up from the checkpoint); 'cancelled' stops permanently.
+
+    @property
+    def _control_path(self) -> str:
+        return os.path.join(self.dir, "_control.json")
+
+    def write_control(self, status: str) -> None:
+        assert status in ("running", "paused", "cancelled"), status
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".ctl.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"status": status}, f)
+        os.replace(tmp, self._control_path)
+
+    def read_control(self) -> str:
+        if not os.path.exists(self._control_path):
+            return "running"
+        with open(self._control_path) as f:
+            return json.load(f).get("status", "running")
+
     # -- tables ---------------------------------------------------------------
     # Each logical table lives under a GENERATION directory ({table} for gen 0,
     # {table}__gen{g} after g compactions) resolved through a tiny pointer file

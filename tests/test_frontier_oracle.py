@@ -104,8 +104,10 @@ def test_bfs_metrics_lineage_recorded(bfs_run):
             ),
             3,
         ),
+        # P10 content-size guard: oversized pages crawl but yield no links
+        (CrawlConfig(job_id="guard", max_depth=3, max_pages=300, max_content_chars=180), 3),
     ],
-    ids=["budget-mid", "budget-first", "allowlist"],
+    ids=["budget-mid", "budget-first", "allowlist", "content-guard"],
 )
 def test_bfs_variants_match_oracle(spark, docs_df, tmp_workdir, cfg, n_seeds):
     docs, seeds = build_fixture(P, n_seeds=n_seeds)

@@ -54,6 +54,41 @@ def test_bfs_resume_matches_uninterrupted(spark):
     docs_df.unpersist()
 
 
+def test_pause_and_cancel_job_control(spark):
+    """Pause/cancel polled at epoch boundaries (job_coordinator.py:282-369):
+    'paused' stops after the last committed epoch and a resume completes the
+    crawl identically to an uninterrupted run; 'cancelled' stops for good."""
+    docs, seeds = build_fixture(P, n_seeds=2)
+    expected = simulate_bfs(docs, seeds, CFG, P)
+    docs_df = synth_docs_spark(spark, P).persist()
+    docs_df.count()
+
+    wd = tempfile.mkdtemp()
+    eng = CrawlEngine(spark, CFG, docs_df, wd, synth_params=P, use_bloom=False, metrics_enabled=False)
+    eng.store.write_control("paused")
+    out = eng.run_bfs(seeds)
+    assert eng.stats.stopped == "paused"
+    assert eng.stats.crawled == 0  # paused before the first epoch ran
+
+    # resume after un-pausing: identical final state
+    eng2 = CrawlEngine(spark, CFG, docs_df, wd, synth_params=P, use_bloom=False, metrics_enabled=False)
+    eng2.store.write_control("running")
+    out = eng2.run_bfs(seeds, resume=True)
+    got = [
+        (int(r["crawl_order"]), r["url"], int(r["depth"]))
+        for r in out["seen"].orderBy("crawl_order").select("crawl_order", "url", "depth").collect()
+    ]
+    assert got == expected.order
+
+    # cancel is honored the same way
+    wd2 = tempfile.mkdtemp()
+    eng3 = CrawlEngine(spark, CFG, docs_df, wd2, synth_params=P, use_bloom=False, metrics_enabled=False)
+    eng3.store.write_control("cancelled")
+    eng3.run_bfs(seeds)
+    assert eng3.stats.stopped == "cancelled"
+    docs_df.unpersist()
+
+
 def _rows(df):
     return sorted((r["url_hash"], int(r["epoch"])) for r in df.collect())
 
