@@ -90,6 +90,26 @@ def page_text(spans_col: str = "spans"):
     return F.array_join(texts, " ")
 
 
+def structured_data_types(content_col):
+    """JSON-LD structured-data extraction (content_parser.py:83-102): pull
+    every <script type="application/ld+json"> block and read its @type —
+    pure Catalyst (regexp_extract_all + get_json_object), no UDF. Returns
+    array<string> of @type values (null entries for unparsable blocks are
+    filtered)."""
+    c = content_col if not isinstance(content_col, str) else F.col(content_col)
+    blocks = F.regexp_extract_all(
+        c,
+        F.lit(r'<script type="application/ld\+json">\s*(\{.*?\})\s*</script>'),
+        1,
+    )
+    types = F.transform(blocks, lambda b: F.get_json_object(b, "$['@type']"))
+    return F.filter(types, lambda t: t.isNotNull())
+
+
+def has_structured_data(content_col):
+    return F.size(structured_data_types(content_col)) > 0
+
+
 def content_type_classify(content_type_header):
     """P11 (web_crawler.py:289-297): header -> HTML/PDF/IMAGE/OTHER."""
     c = F.lower(F.coalesce(content_type_header, F.lit("")))

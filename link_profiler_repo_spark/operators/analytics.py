@@ -75,6 +75,33 @@ def domain_value_score(domains: DataFrame, profiles: DataFrame) -> DataFrame:
     )
 
 
+def expired_domain_candidates(edges: DataFrame, seen: DataFrame) -> DataFrame:
+    """Expired/dead-domain link-building finder
+    (services/expired_domain_finder_service.py + link_health_service.py):
+    target hosts that backlinks point at but that never resolved — every
+    crawled target on the host failed (status >= 400) or was never reached —
+    ranked by inbound link equity (distinct referring hosts, dofollow count).
+    These are the 'register this domain and inherit its backlinks'
+    candidates.
+
+    Spark shape: edges left-join seen on the target URL (both sides keyed on
+    the string URL — one shuffle), then a per-host aggregation; no collect."""
+    s = seen.select(F.col("url").alias("dst"), "status_code")
+    j = edges.join(s, "dst", "left")
+    per_host = j.groupBy("dst_host").agg(
+        F.count("*").alias("inbound_links"),
+        F.count_distinct("src_host").alias("referring_hosts"),
+        F.sum(F.when(F.col("link_type") == "dofollow", 1).otherwise(0)).alias("dofollow_links"),
+        F.sum(F.when(F.col("status_code") < 400, 1).otherwise(0)).alias("resolved_ok"),
+        F.sum(F.when(F.col("status_code").isNotNull(), 1).otherwise(0)).alias("crawled_targets"),
+    )
+    return per_host.filter(F.col("resolved_ok") == 0).select(
+        "dst_host", "inbound_links", "referring_hosts", "dofollow_links",
+        "crawled_targets",
+        (F.col("referring_hosts") * 10 + F.col("dofollow_links") * 2).alias("equity_score"),
+    )
+
+
 def queue_stats(frontier: DataFrame) -> DataFrame:
     """A6 (smart_crawler_queue.py:256-274): global queue stats."""
     return frontier.agg(

@@ -520,11 +520,13 @@ SPARK_QUERIES = {
 # ---------------------------------------------------------------------------
 
 _GATE_EDGES_PATH = "/tmp/spark_graft_gate_edges"
+_GATE_SEEN_PATH = "/tmp/spark_graft_gate_seen"
 
 
 def _crawled_edges(spark):
     out = _crawl_outputs(spark)
     out["edges"].coalesce(1).write.mode("overwrite").parquet(_GATE_EDGES_PATH)
+    out["seen"].coalesce(1).write.mode("overwrite").parquet(_GATE_SEEN_PATH)
     return spark.read.parquet(_GATE_EDGES_PATH)
 
 
@@ -635,10 +637,90 @@ WHERE rn <= 3
 SQL_ORACLES["history_latest"] = SQL_HISTORY_LATEST
 SPARK_QUERIES["history_latest"] = q_history_latest
 
+def q_expired_domains(spark, sf_dir):
+    """Expired-domain link-building finder over real crawl output
+    (expired_domain_finder_service.py): hosts with inbound links where no
+    crawled target ever resolved, ranked by link equity."""
+    from .operators.analytics import expired_domain_candidates
+
+    edges = _crawled_edges(spark)
+    seen = spark.read.parquet(_GATE_SEEN_PATH)
+    return expired_domain_candidates(edges, seen)
+
+
+SQL_EXPIRED_DOMAINS = f"""
+WITH j AS (
+  SELECT e.dst_host, e.src_host, e.link_type, s.status_code
+  FROM read_parquet('{_GATE_EDGES_PATH}/*.parquet') e
+  LEFT JOIN read_parquet('{_GATE_SEEN_PATH}/*.parquet') s ON e.dst = s.url
+), per AS (
+  SELECT dst_host,
+         COUNT(*) AS inbound_links,
+         COUNT(DISTINCT src_host) AS referring_hosts,
+         SUM(CASE WHEN link_type = 'dofollow' THEN 1 ELSE 0 END) AS dofollow_links,
+         SUM(CASE WHEN status_code < 400 THEN 1 ELSE 0 END) AS resolved_ok,
+         SUM(CASE WHEN status_code IS NOT NULL THEN 1 ELSE 0 END) AS crawled_targets
+  FROM j GROUP BY dst_host
+)
+SELECT dst_host, inbound_links, referring_hosts, dofollow_links, crawled_targets,
+       referring_hosts * 10 + dofollow_links * 2 AS equity_score
+FROM per WHERE resolved_ok = 0
+"""
+
+
+def q_structured_data(spark, sf_dir):
+    """JSON-LD structured-data extraction (content_parser.py:83-102): the
+    documents corpus with deterministically injected ld+json blocks; Spark
+    extracts with regexp+get_json_object, DuckDB with its own regex+JSON
+    functions over the identically constructed content."""
+    from .functions.seo import has_structured_data, structured_data_types
+
+    d = load(spark, sf_dir, "documents")
+    types = F.array(F.lit("Article"), F.lit("Product"), F.lit("FAQPage"), F.lit("Organization"))
+    inject = F.concat(
+        F.lit('<script type="application/ld+json">{"@type": "'),
+        F.element_at(types, (F.col("doc_id") % 4 + 1).cast("int")),
+        F.lit('", "position": 1}</script>'),
+    )
+    content = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, inject).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        F.to_json(structured_data_types(content)).alias("sd_types"),
+        has_structured_data(content).alias("has_sd"),
+    )
+
+
+SQL_STRUCTURED_DATA = r"""
+WITH c AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN
+           '<script type="application/ld+json">{"@type": "'
+           || (['Article','Product','FAQPage','Organization'])[CAST(doc_id % 4 AS INT) + 1]
+           || '", "position": 1}</script>' ELSE '' END AS content
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN regexp_matches(content, '<script type="application/ld\+json">')
+            THEN '["' || json_extract_string(
+                   regexp_extract(content,
+                     '<script type="application/ld\+json">\s*(\{.*?\})\s*</script>', 1),
+                   '$."@type"') || '"]'
+            ELSE '[]' END AS sd_types,
+       regexp_matches(content, '<script type="application/ld\+json">') AS has_sd
+FROM c
+"""
+
 SQL_ORACLES["crawl_link_velocity"] = SQL_CRAWL_LINK_VELOCITY
 SQL_ORACLES["crawl_edge_quality"] = SQL_CRAWL_EDGE_QUALITY
+SQL_ORACLES["expired_domains"] = SQL_EXPIRED_DOMAINS
+SQL_ORACLES["structured_data"] = SQL_STRUCTURED_DATA
 SPARK_QUERIES["crawl_link_velocity"] = q_crawl_link_velocity
 SPARK_QUERIES["crawl_edge_quality"] = q_crawl_edge_quality
+SPARK_QUERIES["expired_domains"] = q_expired_domains
+SPARK_QUERIES["structured_data"] = q_structured_data
 
 
 # -- crawl-native queries (rows-only driver check; exact oracles in pytest) --
