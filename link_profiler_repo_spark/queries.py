@@ -713,6 +713,71 @@ SELECT doc_id,
 FROM c
 """
 
+_GATE_PAGES_PATH = "/tmp/spark_graft_gate_pages"
+
+
+def q_seo_metrics_sql(spark, sf_dir):
+    """A11/§2.8 with a REAL cross-engine oracle: page content (synth spans +
+    deterministically injected title/meta/h1/img markup) is written to a
+    fixed parquet path; Spark extracts SEO metrics with the Arrow-batched
+    parser (functions/seo.py, content_parser.py:21-129 semantics) and DuckDB
+    re-implements every regex independently over the same bytes."""
+    from .functions.seo import page_text, parse_seo_metrics_udf
+    from .synth import SynthParams, synth_docs_spark
+
+    docs = synth_docs_spark(spark, SynthParams(n_docs=60, n_hosts=6))
+    did = F.regexp_extract(F.col("doc_id"), r"/p/(\d+)$", 1).cast("int")
+    content = F.concat(
+        F.lit("<title>Doc "), did.cast("string"), F.lit(" overview</title>"),
+        F.when(did % 2 == 0,
+               F.concat(F.lit('<meta name="description" content="desc '),
+                        did.cast("string"), F.lit('">'))).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("<h1>Main</h1><h2>Sub</h2><h2>Sub2</h2>")).otherwise(F.lit("<h1>Only</h1>")),
+        F.when(did % 4 == 0, F.lit('<img src="a.png" alt="a"><img src="b.png">')).otherwise(F.lit("")),
+        page_text("spans"),
+    )
+    pages = docs.select(F.col("doc_id").alias("url"), content.alias("content"))
+    pages.coalesce(1).write.mode("overwrite").parquet(_GATE_PAGES_PATH)
+    pages = spark.read.parquet(_GATE_PAGES_PATH)
+    out = pages.select(
+        "url", parse_seo_metrics_udf(F.col("url"), F.col("content")).alias("seo")
+    ).select("url", "seo.*")
+    return out
+
+
+SQL_SEO_METRICS = r"""
+WITH c AS (SELECT url, content FROM read_parquet('/tmp/spark_graft_gate_pages/*.parquet')),
+m AS (
+  SELECT url, content,
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)', 1) AS page_host,
+         regexp_extract_all(content, '<a\s[^>]*href="([^"]*)"', 1, 'i') AS hrefs,
+         regexp_extract_all(content, '<img\s[^>]*>', 0, 'i') AS imgs
+  FROM c
+)
+SELECT url,
+       trim(regexp_extract(content, '<title[^>]*>(.*?)</title>', 1, 'is')) AS title,
+       CASE WHEN regexp_matches(content, '<meta\s+[^>]*name="description"[^>]*content="', 'i')
+            THEN trim(regexp_extract(content, '<meta\s+[^>]*name="description"[^>]*content="([^"]*)"', 1, 'i'))
+            ELSE NULL END AS meta_description,
+       CAST(len(regexp_extract_all(content, '<h1[^>]*>', 0, 'i')) AS INT) AS h1_count,
+       CAST(len(regexp_extract_all(content, '<h2[^>]*>', 0, 'i')) AS INT) AS h2_count,
+       CAST(len(imgs) AS INT) AS images_total,
+       CAST(len(list_filter(imgs, x -> NOT regexp_matches(x, 'alt="[^"]*"', 'i'))) AS INT) AS images_missing_alt,
+       CAST(len(list_filter(hrefs, h ->
+             regexp_extract(h, '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)', 1) IN ('', page_host)
+           )) AS INT) AS internal_links,
+       CAST(len(list_filter(hrefs, h ->
+             regexp_extract(h, '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)', 1) NOT IN ('', page_host)
+           )) AS INT) AS external_links,
+       regexp_matches(content, '<link\s+[^>]*rel="canonical"', 'i') AS has_canonical,
+       CAST(len(list_filter(string_split_regex(regexp_replace(content, '<[^>]+>', ' ', 'g'), '\s+'),
+                            x -> length(x) > 0)) AS INT) AS word_count
+FROM m
+"""
+
+SQL_ORACLES["seo_metrics_sql"] = SQL_SEO_METRICS
+SPARK_QUERIES["seo_metrics_sql"] = q_seo_metrics_sql
+
 SQL_ORACLES["crawl_link_velocity"] = SQL_CRAWL_LINK_VELOCITY
 SQL_ORACLES["crawl_edge_quality"] = SQL_CRAWL_EDGE_QUALITY
 SQL_ORACLES["expired_domains"] = SQL_EXPIRED_DOMAINS

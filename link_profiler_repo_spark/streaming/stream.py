@@ -79,6 +79,39 @@ HOST_STATE = T.StructType([T.StructField("failures", T.IntegerType(), False)])
 FAILURE_THRESHOLD = 5  # distributed_circuit_breaker.py default
 
 
+def host_state_stream(events: DataFrame) -> DataFrame:
+    """STREAMING circuit-breaker state: the applyInPandasWithState rendering
+    of host_state_batch (utils/distributed_circuit_breaker.py:22-118) — per
+    host, a running failure count carried in group state across micro-
+    batches; each batch emits the host's current (failures, cb_state).
+
+    The state is one int per host (bounded by the host universe), exactly
+    the Redis hash the reference keeps; outputMode='update' emits only hosts
+    touched by the batch."""
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    def update(key, pdfs, state):
+        fails = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            fails += int((pdf["status_code"] >= 400).sum())
+        state.update((fails,))
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "failures": [fails],
+                "cb_state": ["open" if fails >= FAILURE_THRESHOLD else "closed"],
+            }
+        )
+
+    return events.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=HOST_STATE_OUTPUT,
+        stateStructType=HOST_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def host_state_batch(fetch_log: DataFrame) -> DataFrame:
     """Batch rendering of the circuit-breaker state table (the engine's
     per-epoch host_state): consecutive-failure count per host -> open/closed.

@@ -98,3 +98,57 @@ def test_host_state_circuit_breaker(spark):
     states = {r["host"]: (r["failures"], r["cb_state"]) for r in host_state_batch(log).collect()}
     assert states["h1"] == (5, "open")
     assert states["h2"] == (1, "closed")
+
+
+def test_host_state_stream_matches_batch(spark, tmp_path):
+    """Streaming circuit breaker (applyInPandasWithState): final per-host
+    failure counts and open/closed states equal the batch rendering over the
+    same fetch log."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from link_profiler_repo_spark.streaming.stream import (
+        host_state_batch,
+        host_state_stream,
+    )
+
+    log = spark.range(200).select(
+        F.concat(F.lit("h"), (F.col("id") % 5).cast("string")).alias("host"),
+        # hosts h3/h4 fail often enough to trip the breaker
+        F.when(F.col("id") % 5 >= 3, 503).otherwise(200).alias("status_code"),
+    )
+    src = str(tmp_path / "fetchlog")
+    log.coalesce(2).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("host", T.StringType()),
+            T.StructField("status_code", T.IntegerType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        host_state_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hs_out")
+        .start()
+    )
+    q.processAllAvailable()
+    rows = spark.sql(
+        "SELECT host, failures, cb_state FROM hs_out"
+    ).collect()
+    q.stop()
+    # update mode may emit a row per micro-batch; counts only grow, so the
+    # final state per host is the max-failures row
+    last = {}
+    for r in rows:
+        cur = (int(r["failures"]), r["cb_state"])
+        if r["host"] not in last or cur[0] > last[r["host"]][0]:
+            last[r["host"]] = cur
+    expected = {
+        r["host"]: (int(r["failures"]), r["cb_state"])
+        for r in host_state_batch(log).collect()
+    }
+    assert last == expected
+    assert expected["h3"][1] == "open" and expected["h0"][1] == "closed"
