@@ -106,3 +106,27 @@ def test_priority_score(spark):
     ).select(F.col("s"), score_to_priority(F.col("s")).alias("p")).collect()
     assert rows[0]["s"] == 120.0 and rows[0]["p"] == 1
     assert rows[1]["s"] == 30.0 and rows[1]["p"] == 4
+
+
+def test_export_json_csv_roundtrip(spark, tmp_path):
+    """S10/S12: debug/export sinks round-trip rows and columns."""
+    from link_profiler_repo_spark.operators.edges import export_csv, export_json
+
+    df = spark.createDataFrame(
+        [("a", 1, 0.5), ("b", 2, 1.5)], schema="k string, n int, v double"
+    )
+    jp, cp = str(tmp_path / "j"), str(tmp_path / "c")
+    export_json(df, jp)
+    export_csv(df, cp)
+    jt = spark.read.json(jp)
+    ct = spark.read.option("header", "true").csv(cp)
+    assert {tuple(r) for r in jt.select("k", "n", "v").collect()} == {("a", 1, 0.5), ("b", 2, 1.5)}
+    assert {r["k"] for r in ct.collect()} == {"a", "b"}
+
+
+def test_limit_early_exit_plan(spark):
+    """T3: limit() plans as CollectLimit/GlobalLimit — no full-table work."""
+    df = spark.range(1_000_000).limit(5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CollectLimit" in plan or "GlobalLimit" in plan
+    assert df.count() == 5
