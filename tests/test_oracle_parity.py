@@ -29,13 +29,16 @@ def _duck(sql: str):
 
 
 def _norm_cell(v):
+    # Wrap in (not-null, value) so None sorts uniformly vs any column type.
+    if v is None:
+        return (0, "")
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return round(v, 9)
+            return (1, "nan")
+        return (1, round(v, 9))
     if hasattr(v, "isoformat"):
-        return v.isoformat()
-    return v
+        return (1, v.isoformat())
+    return (1, v)
 
 
 def _norm(cols, rows):
