@@ -45,15 +45,28 @@ _ODD_MULTS = (
 )
 
 
+def _mult(i: int) -> np.uint64:
+    """Odd multiplier for probe i, any i — the named constants for the common
+    k<=6, splitmix64(i)|1 beyond (reusing multipliers silently degrades the
+    filter below its configured k)."""
+    if i < len(_ODD_MULTS):
+        return _ODD_MULTS[i]
+    with np.errstate(over="ignore"):
+        z = np.uint64(i) * _MIX + np.uint64(1)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return (z ^ (z >> np.uint64(31))) | np.uint64(1)
+
+
 def _positions(h: np.ndarray, m_bits: int, k: int) -> list[np.ndarray]:
     h1 = h.astype(np.uint64)
     if m_bits & (m_bits - 1) == 0:  # power of two: take TOP bits post-multiply
         shift = np.uint64(64 - (m_bits.bit_length() - 1))
         with np.errstate(over="ignore"):
-            return [(h1 * _ODD_MULTS[i % len(_ODD_MULTS)]) >> shift for i in range(k)]
+            return [(h1 * _mult(i)) >> shift for i in range(k)]
     m = np.uint64(m_bits)
     with np.errstate(over="ignore"):
-        return [((h1 * _ODD_MULTS[i % len(_ODD_MULTS)]) >> np.uint64(17)) % m for i in range(k)]
+        return [((h1 * _mult(i)) >> np.uint64(17)) % m for i in range(k)]
 
 
 def build_bloom(df: DataFrame, xx_col: str, m_bits: int = 1 << 23, k: int = 4) -> np.ndarray:
@@ -82,6 +95,7 @@ def build_bloom(df: DataFrame, xx_col: str, m_bits: int = 1 << 23, k: int = 4) -
 
 
 _UNPACK_CACHE: dict[int, np.ndarray] = {}
+_LIVE_BROADCASTS: list = []  # driver-side: previous epochs' bitmap broadcasts
 
 
 def might_contain_udf(bitmap: np.ndarray, m_bits: int, k: int = 4, spark=None):
@@ -90,10 +104,20 @@ def might_contain_udf(bitmap: np.ndarray, m_bits: int, k: int = 4, spark=None):
     The PACKED bitmap (m_bits/8 bytes) ships via sc.broadcast when a session
     is given — one torrent-style transfer per executor instead of a copy in
     every serialized task closure (VERDICT r01 #5). Workers unpack once and
-    memoize per-process keyed by the broadcast id. Closure capture remains as
-    the fallback for session-less callers (tests)."""
+    memoize per-process keyed by the broadcast id; the memo holds ONLY the
+    current epoch's bitmap (a crawl loop calls this every epoch — an unbounded
+    cache would leak ~m_bits bytes per epoch per worker). Driver-side, the
+    previous epoch's broadcast is unpersisted (not destroyed: a straggler task
+    that still holds the old UDF can re-fetch). Closure capture remains as the
+    fallback for session-less callers (tests)."""
     if spark is not None:
+        while _LIVE_BROADCASTS:
+            try:
+                _LIVE_BROADCASTS.pop().unpersist(blocking=False)
+            except Exception:
+                pass
         bc = spark.sparkContext.broadcast(bitmap.tobytes())
+        _LIVE_BROADCASTS.append(bc)
         key = int(bc._jbroadcast.id())  # stable across driver/worker pickling
 
         @F.pandas_udf(T.BooleanType())
@@ -101,6 +125,7 @@ def might_contain_udf(bitmap: np.ndarray, m_bits: int, k: int = 4, spark=None):
             bits = _UNPACK_CACHE.get(key)
             if bits is None:
                 bits = np.unpackbits(np.frombuffer(bc.value, dtype=np.uint8)).astype(bool)
+                _UNPACK_CACHE.clear()  # keep one epoch's bitmap per worker
                 _UNPACK_CACHE[key] = bits
             h = xx.to_numpy(dtype=np.int64).view(np.uint64)
             res = np.ones(len(h), dtype=bool)

@@ -126,7 +126,11 @@ def probe(
             if len(pdf) == 0:
                 continue
             h_all = pdf[xx_col].to_numpy(dtype=np.int64).view(np.uint64)
-            buckets = (h_all % np.uint64(n_buckets)).astype(np.int64)
+            # bucket on the SIGNED value with floored modulo — numpy int64 %
+            # matches Catalyst's pmod for a positive divisor, while unsigned
+            # modulo diverges for negative hashes whenever n_buckets is not a
+            # power of two (the write path buckets with F.pmod).
+            buckets = pdf[xx_col].to_numpy(dtype=np.int64) % n_buckets
             maybe = np.zeros(len(pdf), dtype=bool)
             for b in np.unique(buckets):
                 sel = buckets == b

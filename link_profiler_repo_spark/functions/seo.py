@@ -97,9 +97,11 @@ def structured_data_types(content_col):
     array<string> of @type values (null entries for unparsable blocks are
     filtered)."""
     c = content_col if not isinstance(content_col, str) else F.col(content_col)
+    # (?s): real-world ld+json blocks are pretty-printed across lines — without
+    # DOTALL the '.' stops at the first newline and every such block is missed.
     blocks = F.regexp_extract_all(
         c,
-        F.lit(r'<script type="application/ld\+json">\s*(\{.*?\})\s*</script>'),
+        F.lit(r'(?s)<script type="application/ld\+json">\s*(\{.*?\})\s*</script>'),
         1,
     )
     types = F.transform(blocks, lambda b: F.get_json_object(b, "$['@type']"))

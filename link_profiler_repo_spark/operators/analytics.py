@@ -85,15 +85,23 @@ def expired_domain_candidates(edges: DataFrame, seen: DataFrame) -> DataFrame:
     candidates.
 
     Spark shape: edges left-join seen on the target URL (both sides keyed on
-    the string URL — one shuffle), then a per-host aggregation; no collect."""
-    s = seen.select(F.col("url").alias("dst"), "status_code")
+    the string URL — one shuffle), then a per-host aggregation; no collect.
+    The seen side is first reduced to ONE row per URL (scheduler-mode seen
+    holds a row per fetch ATTEMPT — joining attempts would multiply every
+    inbound edge by the retry count and inflate equity); a URL counts as
+    resolved if ANY attempt succeeded."""
+    s = (
+        seen.select(F.col("url").alias("dst"), "status_code")
+        .groupBy("dst")
+        .agg(F.max(F.when(F.col("status_code") < 400, 1).otherwise(0)).alias("_ok"))
+    )
     j = edges.join(s, "dst", "left")
     per_host = j.groupBy("dst_host").agg(
         F.count("*").alias("inbound_links"),
         F.count_distinct("src_host").alias("referring_hosts"),
         F.sum(F.when(F.col("link_type") == "dofollow", 1).otherwise(0)).alias("dofollow_links"),
-        F.sum(F.when(F.col("status_code") < 400, 1).otherwise(0)).alias("resolved_ok"),
-        F.sum(F.when(F.col("status_code").isNotNull(), 1).otherwise(0)).alias("crawled_targets"),
+        F.sum(F.when(F.col("_ok") == 1, 1).otherwise(0)).alias("resolved_ok"),
+        F.sum(F.when(F.col("_ok").isNotNull(), 1).otherwise(0)).alias("crawled_targets"),
     )
     return per_host.filter(F.col("resolved_ok") == 0).select(
         "dst_host", "inbound_links", "referring_hosts", "dofollow_links",

@@ -99,6 +99,7 @@ def train_centroids(
     sample_n: int = 50_000,
     iters: int = 3,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Spherical k-means on a driver-side SAMPLE (centroids are tiny; the
     sample is bounded by sample_n regardless of table size — the one place a
@@ -106,11 +107,13 @@ def train_centroids(
     init). Lloyd iterations run in numpy; empty cells are re-seeded from the
     farthest points so nlist cells stay populated. Deterministic for a fixed
     seed + input."""
-    n = vectors.count()
+    n = vectors.count() if n_rows is None else n_rows
     frac = min(1.0, (sample_n * 1.2) / max(n, 1))
     sample = (
         vectors.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_n).collect()
     )
+    if not sample:
+        raise ValueError("train_centroids: vectors table is empty")
     m = np.array([r[vec_col] for r in sample], dtype=np.float32)
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -157,9 +160,10 @@ def ivf_topk(
     vectorized numpy pass over Arrow batches, and queries probe the nprobe
     nearest cells. Recall < 1 by design; brute_force_topk is the oracle."""
     if centroids is None:
+        n_rows = vectors.count()  # one count, shared with training
         if nlist is None:
-            nlist = max(4, int(vectors.count() ** 0.5))
-        centroids = train_centroids(vectors, nlist, vec_col=vec_col)
+            nlist = max(4, int(n_rows ** 0.5))
+        centroids = train_centroids(vectors, nlist, vec_col=vec_col, n_rows=n_rows)
     nlist = centroids.shape[0]
     if nprobe is None:
         # adaptive default tuned for the WORST case (near-uniform highdim

@@ -162,7 +162,11 @@ class StateStore:
             shutil.rmtree(new_dir)
         df.drop("epoch").write.parquet(os.path.join(new_dir, f"epoch={keep_epoch}"))
         self._set_gen(table, new_gen)  # commit point
-        shutil.rmtree(old_dir, ignore_errors=True)
+        # Reclaim ALL generations below the pointer, not just old_gen — a crash
+        # after a previous pointer bump but before its delete orphans that
+        # generation, and the seen table is the largest state at design scale.
+        for g in range(new_gen):
+            shutil.rmtree(self._table_dir(table, g), ignore_errors=True)
 
     # -- bloom sidecar ---------------------------------------------------------
     def write_bloom(self, epoch: int, bitmap: np.ndarray) -> str:

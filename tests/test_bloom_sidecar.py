@@ -114,3 +114,28 @@ def test_bfs_with_sidecar_matches_oracle(spark):
     assert {u for _, u, _ in got} == expected.seen
     assert os.path.isdir(eng._sidecar_path)
     docs_df.unpersist()
+
+
+def test_sidecar_non_power_of_two_buckets(spark, tmp_path):
+    """Write path buckets with Catalyst pmod (signed), probe buckets in numpy
+    — for non-power-of-two n_buckets the two diverge unless the probe uses
+    floored signed modulo. No false negatives allowed at n_buckets=6."""
+    path = str(tmp_path / "sidecar6")
+    n_buckets = 6
+    inserted = _keys(spark, 0, 2000)
+    bloom_sidecar.append_delta(inserted, "xx64", path, n_buckets, M_BITS)
+    rows = bloom_sidecar.probe(inserted, "xx64", path, n_buckets, M_BITS).collect()
+    assert rows and all(r["_maybe"] for r in rows), "false negative at non-pow2 buckets"
+
+
+def test_positions_distinct_beyond_six_probes():
+    """k > 6 must NOT reuse multipliers (reuse silently degrades the filter
+    to k=6): probe positions for i=6,7 differ from i=0,1 on random keys."""
+    import numpy as np
+
+    from link_profiler_repo_spark.functions.bloom import _positions
+
+    h = np.random.default_rng(7).integers(0, 2**63, size=1000, dtype=np.int64).view(np.uint64)
+    pos = _positions(h, 1 << 16, 8)
+    assert not np.array_equal(pos[6], pos[0])
+    assert not np.array_equal(pos[7], pos[1])

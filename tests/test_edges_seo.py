@@ -130,3 +130,26 @@ def test_limit_early_exit_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CollectLimit" in plan or "GlobalLimit" in plan
     assert df.count() == 5
+
+
+def test_structured_data_multiline_block(spark):
+    """Real-world ld+json is pretty-printed across lines — the extraction
+    regex must run in DOTALL mode or every such block is silently missed."""
+    import pyspark.sql.functions as F
+
+    from link_profiler_repo_spark.functions.seo import (
+        has_structured_data,
+        structured_data_types,
+    )
+
+    content = (
+        'pre <script type="application/ld+json">{\n'
+        '  "@type": "Article",\n  "position": 1\n}</script> post'
+    )
+    df = spark.createDataFrame([(content,), ("no blocks here",)], "content string")
+    got = df.select(
+        structured_data_types("content").alias("t"),
+        has_structured_data("content").alias("h"),
+    ).collect()
+    assert got[0]["t"] == ["Article"] and got[0]["h"]
+    assert got[1]["t"] == [] and not got[1]["h"]
