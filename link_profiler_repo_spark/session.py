@@ -29,6 +29,13 @@ _BASE_CONF = {
     # (43s -> 6.8s at 8M x 4M rows) — string sort dominates SMJ. AQE still
     # falls back to SMJ when the build side is too large per partition.
     "spark.sql.join.preferSortMergeJoin": "false",
+    # bucketed scans of SORTED single-file-per-bucket tables (compacted state
+    # tables, bench kernel input) feed the SMJ anti-join pre-sorted with no
+    # in-task Sort (~1.7x on the 32M-row kernel at 2 cores). Safe globally:
+    # FileSourceScanLike only claims sortedness when every selected bucket has
+    # <= 1 file (singleFilePartitions guard), so multi-file delta tables keep
+    # their explicit Sort.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # oracle comparisons (DuckDB) are UTC-naive; pin the session TZ
     "spark.sql.session.timeZone": "UTC",
