@@ -41,6 +41,8 @@ HEADLINE = [
     "sessionization",
     "text_profile",
     "dedup_exact",
+    "jaccard_pairs",
+    "embedding_pairs",
     "similarity_topk",
 ]
 

@@ -261,3 +261,37 @@ def embedding_near_dup(
         .select(F.col("a._id").alias("a"), F.col("b._id").alias("b"), cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def blocked_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact cosine near-dup pairs within a blocking key — pure Catalyst
+    (zip_with product + left-fold sum in double; no UDF). The exact tier of
+    the embedding-dedup family: at scale the block key is an LSH/IVF cell
+    assignment (embedding_near_dup / ivf_topk produce it), so the self-join
+    stays quadratic only within cells, never all-pairs."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    g = df.select(
+        F.col(id_col).alias("_id"), F.col(block_col).alias("_blk"), vd.alias("e")
+    )
+    a, b = g.alias("a"), g.alias("b")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    pairs = a.join(
+        b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id"))
+    )
+    cos = dot(F.col("a.e"), F.col("b.e")) / (
+        F.sqrt(dot(F.col("a.e"), F.col("a.e"))) * F.sqrt(dot(F.col("b.e"), F.col("b.e")))
+    )
+    return pairs.select(
+        F.col("a._id").alias("a"), F.col("b._id").alias("b"), cos.alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

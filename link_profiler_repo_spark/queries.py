@@ -352,6 +352,78 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def q_jaccard_pairs(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs, blocked by doc_id%16 so the
+    self-join is quadratic only within blocks (the exact-similarity tier of
+    the dedup family; DuckDB recomputes the identical shingling with list
+    functions)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "blk", (F.col("doc_id") % 16).cast("int")
+    )
+    pairs = ngram_jaccard_pairs(d, block_col="blk", n=3, threshold=0.2)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_JACCARD_PAIRS = """
+WITH g AS (
+  SELECT doc_id, CAST(doc_id % 16 AS INT) AS blk,
+         list_distinct(
+           list_transform(
+             range(0, greatest(len(w) - 3, 0) + 1),
+             i -> array_to_string(w[i + 1 : i + 3], ' ')
+           )
+         ) AS grams
+  FROM (
+    SELECT doc_id,
+           list_filter(
+             string_split_regex(
+               lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\\s+'
+             ),
+             x -> len(x) > 0
+           ) AS w
+    FROM documents
+  )
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       ROUND(CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+                  THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                       / len(list_distinct(a.grams || b.grams))
+                  ELSE 0.0 END, 6) AS jaccard
+FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / greatest(len(list_distinct(a.grams || b.grams)), 1) >= 0.2
+"""
+
+
+def q_embedding_pairs(spark, sf_dir):
+    """Exact blocked cosine near-dup pairs over the embeddings table (label =
+    the blocking key; at scale an LSH/IVF cell id). DuckDB recomputes cosine
+    with list_dot_product over the same double-cast vectors."""
+    from .operators.dedup import blocked_cosine_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    pairs = blocked_cosine_pairs(e, threshold=0.3)
+    return pairs.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_EMBEDDING_PAIRS = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+         AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: token counts / ratios / quality / lang-id / fingerprint
 # ---------------------------------------------------------------------------
@@ -487,6 +559,8 @@ SQL_ORACLES: dict[str, str] = {
     "tpch_q1": SQL_TPCH_Q1,
     "value_score": SQL_VALUE_SCORE,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "embedding_pairs": SQL_EMBEDDING_PAIRS,
     "text_profile": SQL_TEXT_PROFILE,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "sessionization": SQL_SESSIONIZATION,
@@ -505,6 +579,8 @@ SPARK_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "value_score": q_value_score,
     "dedup_exact": q_dedup_exact,
+    "jaccard_pairs": q_jaccard_pairs,
+    "embedding_pairs": q_embedding_pairs,
     "text_profile": q_text_profile,
     "similarity_topk": q_similarity_topk,
     "sessionization": q_sessionization,
