@@ -266,7 +266,9 @@ def _crawl_throughput_inprocess(cores: int) -> dict:
         eng = CrawlEngine(
             spark, cfg, docs, tempfile.mkdtemp(prefix="crawlbench_"),
             synth_params=p, use_bloom=True, bloom_bits=1 << 21,
-            small_wave_threshold=0,  # force the fully-distributed paths
+            # engine defaults: adaptive wave path (tiny waves take the
+            # single-partition shortcut, real waves the distributed one —
+            # both oracle-verified; the bench measures the production config)
         )
         stride = max(1, n_docs // n_seeds)
         seeds = [

@@ -62,8 +62,17 @@ def with_global_index(
         from pyspark.sql import Window
 
         w = Window.orderBy(*order_cols)
-        out = df.coalesce(1).withColumn(
+        indexed = df.coalesce(1).withColumn(
             out_col, F.row_number().over(w).cast("long") - 1
+        )
+        # CRITICAL: fan back out after the single-partition window — without
+        # this the wave stays at 1 partition and every downstream stage of
+        # the epoch (fetch join, extraction, dedup) serializes on one core
+        # (measured 2.2x slower end-to-end crawl than the distributed path it
+        # was meant to beat). The index column carries the ordering; row
+        # placement is free to change.
+        out = indexed.repartition(
+            max(2, df.sparkSession.sparkContext.defaultParallelism)
         )
         out.persist(StorageLevel.MEMORY_AND_DISK)
         _PERSISTED.append(out)
