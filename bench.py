@@ -135,10 +135,14 @@ def _task_metrics(evlog_dir: str, after_ms: float) -> dict:
     import glob
     import subprocess
 
+    import json as _json
+
     cpu = run = 0.0
-    for p in glob.glob(os.path.join(evlog_dir, "*", "events*")) + glob.glob(
+    files = glob.glob(os.path.join(evlog_dir, "*", "events*")) + glob.glob(
         os.path.join(evlog_dir, "events*")
-    ):
+    )
+    all_events: list = []
+    for p in files:
         if p.endswith(".zstd"):
             data = subprocess.run(
                 ["zstd", "-dc", p], capture_output=True, check=True
@@ -146,20 +150,21 @@ def _task_metrics(evlog_dir: str, after_ms: float) -> dict:
         else:
             with open(p) as f:
                 data = f.read()
-        import json as _json
-
-        stage_ok = set()
-        events = [_json.loads(line) for line in data.splitlines() if line.strip()]
-        for e in events:
-            if e.get("Event") == "SparkListenerStageSubmitted":
-                si = e["Stage Info"]
-                if si.get("Submission Time", 0) >= after_ms:
-                    stage_ok.add(si["Stage ID"])
-        for e in events:
-            if e.get("Event") == "SparkListenerTaskEnd" and e["Stage ID"] in stage_ok:
-                m = e.get("Task Metrics") or {}
-                cpu += m.get("Executor CPU Time", 0) / 1e9
-                run += m.get("Executor Run Time", 0) / 1000.0
+        all_events.extend(_json.loads(line) for line in data.splitlines() if line.strip())
+    # two passes over the MERGED stream: a rolling log can split a stage's
+    # Submitted and TaskEnd events across files, so per-file stage sets would
+    # silently drop tasks
+    stage_ok = set()
+    for e in all_events:
+        if e.get("Event") == "SparkListenerStageSubmitted":
+            si = e["Stage Info"]
+            if si.get("Submission Time", 0) >= after_ms:
+                stage_ok.add(si["Stage ID"])
+    for e in all_events:
+        if e.get("Event") == "SparkListenerTaskEnd" and e["Stage ID"] in stage_ok:
+            m = e.get("Task Metrics") or {}
+            cpu += m.get("Executor CPU Time", 0) / 1e9
+            run += m.get("Executor Run Time", 0) / 1000.0
     return {"cpu_s": round(cpu, 2), "run_s": round(run, 2)}
 
 
@@ -203,6 +208,10 @@ def _frontier_epoch_inprocess(cores: int) -> dict:
         tm = _task_metrics(evdir, t0_ms)
     except Exception:
         tm = {"cpu_s": None, "run_s": None}
+    finally:
+        import shutil
+
+        shutil.rmtree(evdir, ignore_errors=True)
     out = {
         "cores": cores,
         "urls": N_FRONTIER,
@@ -377,6 +386,9 @@ def main() -> None:
     eff_raw = _median([r["efficiency_raw"] for r in per_round])
     eff_cpu = _median([r["efficiency_cpu"] for r in per_round])
     efficiency = eff_cpu if eff_cpu is not None else eff_raw
+    eff_label = "median CPU-based" if eff_cpu is not None else (
+        "median raw wall — CPU metrics unavailable"
+    )
     frontier = {
         "n_cores": low,
         "4n_cores": high,
@@ -447,7 +459,7 @@ def main() -> None:
             f"best-of-per-level speedup 4N/N = {frontier['speedup']} "
             f"(efficiency {frontier['best_of_efficiency']}); "
             f"raw wall median efficiency = {eff_raw}; "
-            f"**scaling efficiency (median CPU-based) = {efficiency}** "
+            f"**scaling efficiency ({eff_label}) = {efficiency}** "
             "(criterion: >= 0.8 between N and 4N, BASELINE.json)\n\n"
             "Per-round (N urls/s, 4N urls/s, N cpu_s, 4N cpu_s, N packing, "
             "4N packing, raw eff, cpu eff): "

@@ -276,22 +276,23 @@ def blocked_cosine_pairs(
     assignment (embedding_near_dup / ivf_topk produce it), so the self-join
     stays quadratic only within cells, never all-pairs."""
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    g = df.select(
-        F.col(id_col).alias("_id"), F.col(block_col).alias("_blk"), vd.alias("e")
-    )
-    a, b = g.alias("a"), g.alias("b")
 
     def dot(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
         )
 
+    # precompute each row's norm ONCE before the self-join — inside the pair
+    # expression it would be re-evaluated O(pairs) instead of O(rows)
+    g = df.select(
+        F.col(id_col).alias("_id"), F.col(block_col).alias("_blk"), vd.alias("e")
+    ).withColumn("n", F.sqrt(dot(F.col("e"), F.col("e"))))
+    a, b = g.alias("a"), g.alias("b")
+
     pairs = a.join(
         b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id"))
     )
-    cos = dot(F.col("a.e"), F.col("b.e")) / (
-        F.sqrt(dot(F.col("a.e"), F.col("a.e"))) * F.sqrt(dot(F.col("b.e"), F.col("b.e")))
-    )
+    cos = dot(F.col("a.e"), F.col("b.e")) / (F.col("a.n") * F.col("b.n"))
     return pairs.select(
         F.col("a._id").alias("a"), F.col("b._id").alias("b"), cos.alias("cosine")
     ).filter(F.col("cosine") >= threshold)

@@ -58,6 +58,8 @@ def with_global_index(
     to be driver-trivial (e.g. a crawl wave far below the shuffle threshold).
     The default path stays fully distributed for the 10^10 design point."""
     spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = max(2, spark.sparkContext.defaultParallelism)
     if small:
         from pyspark.sql import Window
 
@@ -71,14 +73,10 @@ def with_global_index(
         # (measured 2.2x slower end-to-end crawl than the distributed path it
         # was meant to beat). The index column carries the ordering; row
         # placement is free to change.
-        out = indexed.repartition(
-            max(2, df.sparkSession.sparkContext.defaultParallelism)
-        )
+        out = indexed.repartition(num_partitions)
         out.persist(StorageLevel.MEMORY_AND_DISK)
         _PERSISTED.append(out)
         return out, out.count()
-    if num_partitions is None:
-        num_partitions = max(2, spark.sparkContext.defaultParallelism)
 
     sorted_df = (
         df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])

@@ -386,14 +386,14 @@ WITH g AS (
     FROM documents
   )
 )
-SELECT a.doc_id AS a, b.doc_id AS b,
-       ROUND(CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
-                  THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                       / len(list_distinct(a.grams || b.grams))
-                  ELSE 0.0 END, 6) AS jaccard
-FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-      / greatest(len(list_distinct(a.grams || b.grams)), 1) >= 0.2
+SELECT a, b, ROUND(jac, 6) AS jaccard FROM (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+              THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / len(list_distinct(a.grams || b.grams))
+              ELSE 0.0 END AS jac
+  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+) WHERE jac >= 0.2
 """
 
 
