@@ -85,3 +85,22 @@ def test_salted_topk_equals_naive_window(spark):
         .collect()
     }
     assert salted == naive
+
+
+def test_small_path_global_index_fans_back_out(spark):
+    """Regression: the small (single-partition window) path of
+    with_global_index must NOT return a 1-partition DataFrame — that would
+    serialize every downstream stage of the epoch (measured 2.2x end-to-end).
+    The distributed and small paths must also agree on the index values."""
+    from link_profiler_repo_spark.operators.order import unpersist_all, with_global_index
+
+    df = spark.range(0, 5000).selectExpr("id", "id % 7 AS k")
+    small, n_small = with_global_index(df, ["id"], "idx", small=True)
+    assert n_small == 5000
+    assert small.rdd.getNumPartitions() > 1
+    dist, n_dist = with_global_index(df, ["id"], "idx")
+    assert n_dist == 5000
+    assert sorted((r["id"], r["idx"]) for r in small.collect()) == sorted(
+        (r["id"], r["idx"]) for r in dist.collect()
+    )
+    unpersist_all()
