@@ -54,12 +54,20 @@ _FRONTIER_COLS = ["url", "url_hash", "xx64", "host", "depth", "wave_seq"]
 
 @dataclass
 class CrawlStats:
+    """Mixed scopes on resume, by design: epochs/crawled are CUMULATIVE over
+    the whole job (they come from the checkpoint), while scheduled/per_epoch/
+    wall_seconds cover only THIS process's run (resumed_from marks the split —
+    0 for a fresh run). Rate computations must pair same-scope fields:
+    pages/sec of this run = (crawled - crawled_at_resume) / wall_seconds."""
+
     epochs: int = 0
     crawled: int = 0
     scheduled: int = 0  # candidate URLs pushed through schedule+dedup (bench metric)
     wall_seconds: float = 0.0
     per_epoch: list = field(default_factory=list)
     stopped: str = ""  # ''|'paused'|'cancelled' — job-control interruption
+    resumed_from: int = 0  # checkpoint epoch this run resumed at (0 = fresh)
+    crawled_at_resume: int = 0  # pages already crawled at that checkpoint
 
 
 class CrawlEngine:
@@ -268,9 +276,12 @@ class CrawlEngine:
         if ckpt is not None:
             epoch = int(ckpt["epoch"])
             crawled = int(ckpt["crawled"])
+            self.stats.resumed_from = epoch
+            self.stats.crawled_at_resume = crawled
             frontier = store.read_epoch(spark, "frontier", epoch)
             bloom = store.read_bloom(epoch) if self.use_bloom else None
         else:
+            store.reset()  # a fresh run must not inherit prior generations
             epoch = 0
             crawled = 0
             frontier = self._seed_frontier(seeds)
@@ -309,7 +320,11 @@ class CrawlEngine:
             # dequeue-time skips: depth >= max_depth (crawl_service.py:499-501),
             # seen (:497-498), first-occurrence within the wave (dup enqueues)
             elig = frontier.filter(F.col("depth") < F.lit(cfg.max_depth))
-            w = Window.partitionBy("url").orderBy("wave_seq")
+            # dedup on url_hash, not raw url: they are the same identity under
+            # canonical_mode='identity' (sha256 of the raw string), but under
+            # 'full' two raw spellings of one canonical URL must collapse here
+            # (scheduler mode already keys its dedup on url_hash)
+            w = Window.partitionBy("url_hash").orderBy("wave_seq")
             elig = (
                 elig.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
@@ -389,10 +404,11 @@ class CrawlEngine:
             if cfg.allowed_domains:
                 cand = cand.filter(F.col("host").isin(*sorted(cfg.allowed_domains)))
             cand = self._not_seen(cand, seen, bloom)
-            # not crawled earlier in THIS wave (seen set grows during the wave)
-            cw = fetched.select(F.col("url").alias("_cu"), F.col("crawl_idx").alias("_ck"))
+            # not crawled earlier in THIS wave (seen set grows during the wave);
+            # keyed on url_hash for the same canonical-identity reason as above
+            cw = fetched.select(F.col("url_hash").alias("_cu"), F.col("crawl_idx").alias("_ck"))
             cand = (
-                cand.join(cw, cand["url"] == cw["_cu"], "left")
+                cand.join(cw, cand["url_hash"] == cw["_cu"], "left")
                 .filter(F.col("_ck").isNull() | (F.col("_ck") > F.col("parent_k")))
                 .drop("_cu", "_ck")
             )
@@ -409,6 +425,11 @@ class CrawlEngine:
 
             nxt = nxt.select(*_FRONTIER_COLS)
             store.write_epoch("frontier", epoch, nxt, coalesce=1 if small else None)
+            # metrics BEFORE the bucketed append: the metrics job re-evaluates
+            # plans whose lineage anti-joins the bucketed seen table; after the
+            # append, a cache eviction would recompute them against a table
+            # that already contains this wave's own rows
+            self._log_metrics(epoch, [("crawled", fetched), ("scheduled", nxt)])
             if self._bucketed is not None:
                 # append AFTER all of this wave's anti-join consumers ran —
                 # spark.table() is lazy, so an earlier append would leak this
@@ -421,7 +442,6 @@ class CrawlEngine:
             bloom = self._bloom_insert(bloom, seen_delta)
             if bloom is not None:
                 store.write_bloom(epoch, bloom)
-            self._log_metrics(epoch, [("crawled", fetched), ("scheduled", nxt)])
 
             crawled += n_crawled_wave
             store.commit({"epoch": epoch, "crawled": crawled, "mode": "bfs"})
@@ -521,19 +541,24 @@ class CrawlEngine:
     # -- outputs ----------------------------------------------------------------
 
     def _outputs(self, upto_epoch: int) -> dict:
+        """Never returns None for a table: a zero-epoch run (pause/cancel
+        before the first wave, empty seeds, BFS mode's absent dead_letter)
+        yields properly-TYPED empty DataFrames so downstream consumers
+        (jobs.link_health_audit, the gate queries) can join/select without
+        special-casing."""
+        from .. import schemas
+
         spark = self.spark
-        seen = self.store.read_deltas(spark, "seen", upto_epoch)
-        edges = self.store.read_deltas(spark, "edges", upto_epoch)
-        metrics = self.store.read_deltas(spark, "metrics", upto_epoch)
-        dead = self.store.read_deltas(spark, "dead_letter", upto_epoch)
-        empty = spark.createDataFrame([], schema="url string")
-        return {
-            "seen": seen if seen is not None else empty,
-            "edges": edges,
-            "metrics": metrics,
-            "dead_letter": dead,
-            "stats": self.stats,
-        }
+        out = {"stats": self.stats}
+        for name, schema in (
+            ("seen", schemas.SEEN),
+            ("edges", schemas.EDGES),
+            ("metrics", schemas.METRICS),
+            ("dead_letter", schemas.DEAD_LETTER),
+        ):
+            df = self.store.read_deltas(spark, name, upto_epoch)
+            out[name] = df if df is not None else spark.createDataFrame([], schema)
+        return out
 
     # -- scheduler (priority-frontier) mode --------------------------------------
 
@@ -559,9 +584,12 @@ class CrawlEngine:
             epoch = int(ckpt["epoch"])
             crawled = int(ckpt["crawled"])
             seq_counter = int(ckpt["seq"])
+            self.stats.resumed_from = epoch
+            self.stats.crawled_at_resume = crawled
             frontier = store.read_epoch(spark, "frontier_sched", epoch)
             bloom = store.read_bloom(epoch) if self.use_bloom else None
         else:
+            store.reset()  # a fresh run must not inherit prior generations
             epoch = 0
             crawled = 0
             seed_rows = [(u, i) for i, u in enumerate(seeds)]
@@ -764,6 +792,10 @@ class CrawlEngine:
                 .drop("_bl", "_err")
                 .withColumn("retries", F.lit(0))
             )
+            # three consumers (admissions index, enqueued write, bloom build)
+            # — persist once, released at the epoch's unpersist_all barrier
+            cand.persist()
+            track_persist(cand)
 
             # retries: failed fetch with retryable status (W5, :182-192)
             retry_src = fetched.filter(

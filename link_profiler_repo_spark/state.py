@@ -83,6 +83,30 @@ class StateStore:
         with open(self._control_path) as f:
             return json.load(f).get("status", "running")
 
+    def reset(self) -> None:
+        """Delete all persisted state for this job — every table generation,
+        the checkpoint manifest, bloom sidecars — but PRESERVE the control
+        file (_control.json is the operator's command channel: a pre-staged
+        pause/cancel applies to the next run). A FRESH (resume=False) run
+        calls this first; otherwise a previous run's compacted seen
+        generation (resolved through the persisted generation pointer, never
+        overwritten by the new run's epoch writes) leaks ghost rows into
+        `_not_seen` and silently truncates the crawl."""
+        import shutil
+
+        keep = os.path.basename(self._control_path)
+        for name in os.listdir(self.dir):
+            if name == keep:
+                continue
+            p = os.path.join(self.dir, name)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
     # -- tables ---------------------------------------------------------------
     # Each logical table lives under a GENERATION directory ({table} for gen 0,
     # {table}__gen{g} after g compactions) resolved through a tiny pointer file

@@ -150,3 +150,38 @@ def test_compaction_crash_safe(spark):
     assert sorted(r["url_hash"] for r in store2.read_deltas(spark, "seen", 3).collect()) == sorted(
         h for h, _ in before
     )
+
+
+def test_fresh_run_ignores_prior_state(spark, tmp_path):
+    """A fresh (resume=False) run against a workdir that already holds a
+    previous run's state — including a COMPACTED seen generation, whose
+    directory a new run's epoch writes would never overwrite — must produce
+    exactly the same crawl as a run against a clean workdir."""
+    from link_profiler_repo_spark.config import CrawlConfig
+    from link_profiler_repo_spark.operators.crawl import CrawlEngine
+    from link_profiler_repo_spark.synth import SynthParams, synth_docs_spark
+    from link_profiler_repo_spark.oracle_sim import build_fixture, simulate_bfs
+
+    p = SynthParams(n_docs=80, n_hosts=5)
+    cfg = CrawlConfig(job_id="freshjob", max_depth=3, max_pages=60)
+    docs, seeds = build_fixture(p, n_seeds=2)
+    expected = simulate_bfs(docs, seeds, cfg, p)
+    docs_df = synth_docs_spark(spark, p).persist()
+    workdir = str(tmp_path / "state")
+
+    def run():
+        eng = CrawlEngine(
+            spark, cfg, docs_df, workdir, synth_params=p,
+            use_bloom=False, compact_every=1, metrics_enabled=False,
+        )
+        out = eng.run_bfs(seeds)
+        return [
+            (int(r["crawl_order"]), r["url"])
+            for r in out["seen"].orderBy("crawl_order").collect()
+        ]
+
+    first = run()
+    second = run()  # same workdir + job_id, fresh run over compacted leftovers
+    assert first == second
+    assert {u for _, u in first} == expected.seen
+    docs_df.unpersist()
