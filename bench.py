@@ -491,7 +491,29 @@ def main() -> None:
             + "\n"
         )
 
-    print(json.dumps(result))
+    # full detail (per-round table, per-level task metrics) goes to a file;
+    # the PRINTED line stays minimal — the driver truncates long tails and
+    # records `parsed: null` if the JSON line is clipped (round-2 lesson)
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run_full.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(result, f, indent=2)
+    compact = dict(result)
+    compact["frontier"] = {
+        "n_cores": low["cores"],
+        "4n_cores": high["cores"],
+        "n_urls_per_sec": low["urls_per_sec"],
+        "4n_urls_per_sec": high["urls_per_sec"],
+        "efficiency_raw_median": eff_raw,
+        "scaling_efficiency": efficiency,
+    }
+    compact["crawl"] = {
+        "pages_crawled": crawl["pages_crawled"],
+        "seconds": crawl["seconds"],
+        "pages_per_sec": crawl["pages_per_sec"],
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -40,6 +40,10 @@ class CrawlConfig:
     # clock there, logical time here so runs are deterministic; the oracle
     # simulator applies the identical rule).
     epoch_seconds: float = 2.0
+    # Sitemap discovery (robots_parser.py:149-171 get_sitemap_urls feeding
+    # the crawl): robots `Sitemap:` URLs join the scheduler frontier as
+    # depth-0 candidates after the user seeds, ordered by (host, position).
+    sitemap_seeding: bool = True
 
     def is_domain_allowed(self, host: str) -> bool:
         # reference: core/models.py:118-121 — empty set allows all

@@ -70,6 +70,20 @@ def resolve_url(base: str, href: str) -> str | None:
         return None
 
 
+def _context_text(text: str, a_start: int, a_end: int, anchor: str, max_length: int = 100) -> str:
+    """Surrounding text for a link (link_extractor.py:111-132
+    _get_context_text): previous sibling text + anchor text + next sibling
+    text, stripped and truncated to max_length. Regex analogue of the
+    BeautifulSoup sibling walk: the 'previous sibling' is the raw text
+    between the preceding tag boundary and the <a> tag; the 'next sibling'
+    is the raw text from </a> to the next tag."""
+    prev = text[text.rfind(">", 0, a_start) + 1 : a_start].strip()
+    nxt_lt = text.find("<", a_end)
+    nxt = text[a_end : nxt_lt if nxt_lt != -1 else len(text)].strip()
+    ctx = (prev + " " if prev else "") + anchor + (" " + nxt if nxt else "")
+    return ctx.strip()[:max_length]
+
+
 def parse_links(base_url: str, spans: list) -> list[dict]:
     """Extract links from one document's spans, in document order.
 
@@ -96,12 +110,14 @@ def parse_links(base_url: str, spans: list) -> list[dict]:
                 continue
             rm = REL_RE.search(attrs)
             rel = [r for r in rm.group(1).split() if r] if rm else []
+            anchor = re.sub(r"<[^>]+>", "", inner).strip()
             out.append(
                 {
                     "href": full,
-                    "anchor_text": re.sub(r"<[^>]+>", "", inner).strip(),
+                    "anchor_text": anchor,
                     "rel": rel,
                     "link_type": determine_link_type(rel),
+                    "context_text": _context_text(text, m.start(), m.end(), anchor),
                     "pos": pos,
                     "from_tag": "a",
                 }
@@ -117,6 +133,7 @@ def parse_links(base_url: str, spans: list) -> list[dict]:
                         "anchor_text": "canonical",
                         "rel": ["canonical"],
                         "link_type": "canonical",
+                        "context_text": "",  # link_extractor.py:72 (canonical rows)
                         "pos": pos,
                         "from_tag": "link",
                     }

@@ -30,6 +30,11 @@ def backlink_discovery(spark: SparkSession, docs_df, seeds, cfg: CrawlConfig,
     out = eng.run_bfs(seeds) if mode == "bfs" else eng.run_scheduler(seeds)
     if out["edges"] is not None:
         out["profiles"] = full_link_profile(out["edges"])
+        # DomainHistory snapshots (core/models.py:740-762): one pass over the
+        # edge log, not per-epoch loop aggregation
+        from .operators.history import domain_history_from_edges
+
+        out["history"] = domain_history_from_edges(out["edges"])
     return out
 
 
@@ -74,6 +79,23 @@ def pop_next_job(jobs_df):
     )
 
 
+def serp_analysis_job(spark: SparkSession, docs, keyword: str, num_results: int = 10, **kw):
+    """crawl_service.py:714-749 _run_serp_analysis_job: top-N SERPResult rows
+    for a keyword (serp_service replaced by corpus TF relevance)."""
+    from .operators.keywords import serp_analysis
+
+    return serp_analysis(docs, keyword, num_results=num_results, **kw)
+
+
+def keyword_research_job(spark: SparkSession, docs, seed_keyword: str,
+                         num_suggestions: int = 10, **kw):
+    """crawl_service.py:751-786 _run_keyword_research_job: KeywordSuggestion
+    rows for a seed keyword (keyword_service replaced by corpus n-gram DF)."""
+    from .operators.keywords import keyword_research
+
+    return keyword_research(docs, seed_keyword, num_suggestions=num_suggestions, **kw)
+
+
 JOB_TYPES = {
     "backlink_discovery": backlink_discovery,
     "link_health_audit": link_health_audit,
@@ -81,6 +103,8 @@ JOB_TYPES = {
     "full_seo_audit": full_seo_audit,
     "link_velocity": lambda spark, edges, **kw: link_velocity(edges, **kw),
     "link_intersect": lambda spark, edges, primary, comps: link_intersect(edges, primary, comps),
+    "serp_analysis": serp_analysis_job,
+    "keyword_research": keyword_research_job,
 }
 
 

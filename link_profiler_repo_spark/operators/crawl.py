@@ -372,6 +372,7 @@ class CrawlEngine:
                     F.col("l.anchor_text").alias("anchor_text"),
                     F.col("l.rel").alias("rel"),
                     F.col("l.link_type").alias("link_type"),
+                    F.col("l.context_text").alias("context_text"),
                     F.col("l.pos").alias("pos"),
                     F.col("l.from_tag").alias("from_tag"),
                 )
@@ -388,7 +389,7 @@ class CrawlEngine:
                     "src", "dst",
                     url_host("src").alias("src_host"),
                     url_host("dst").alias("dst_host"),
-                    "anchor_text", "link_type", "rel", "pos", "depth",
+                    "anchor_text", "link_type", "rel", "context_text", "pos", "depth",
                     *self._edge_analytics_cols(epoch),
                     F.lit(epoch).alias("epoch"),
                 )
@@ -594,6 +595,29 @@ class CrawlEngine:
             crawled = 0
             seed_rows = [(u, i) for i, u in enumerate(seeds)]
             df = spark.createDataFrame(seed_rows, schema="url string, arrival_seq long")
+            seq_counter = len(seeds)
+            # sitemap -> frontier wiring (robots_parser.py:149-171 discovery
+            # path): robots `Sitemap:` URLs are depth-0 candidates admitted
+            # after the user seeds, deterministically ordered by
+            # (host, position-in-robots-row)
+            if robots is not None and cfg.sitemap_seeding:
+                sm = robots.select(
+                    "host",
+                    F.posexplode(
+                        F.coalesce("sitemaps", F.array().cast("array<string>"))
+                    ).alias("sm_pos", "url"),
+                )
+                sm_idx, n_sm = with_global_index(
+                    sm, ["host", "sm_pos"], "sm_seq", small=True
+                )
+                if n_sm:
+                    df = df.unionByName(
+                        sm_idx.select(
+                            "url",
+                            (F.col("sm_seq") + F.lit(len(seeds))).alias("arrival_seq"),
+                        )
+                    )
+                    seq_counter += n_sm
             df = (
                 self._with_keys(df)
                 .withColumn("depth", F.lit(0))
@@ -601,10 +625,18 @@ class CrawlEngine:
                 .withColumn("retries", F.lit(0))
             )
             df = self._admission_filters(df)
+            # admission-dedup WITHIN the initial set (sim's `enqueued` set
+            # skips a sitemap URL that equals a seed, and duplicate seeds):
+            # keep the first arrival per canonical identity
+            w0 = Window.partitionBy("url_hash").orderBy("arrival_seq")
+            df = (
+                df.withColumn("_rn0", F.row_number().over(w0))
+                .filter(F.col("_rn0") == 1)
+                .drop("_rn0")
+            )
             frontier = df.select(
                 "url", "url_hash", "xx64", "host", "depth", "priority", "retries", "arrival_seq"
             )
-            seq_counter = len(seeds)
             store.write_epoch("frontier_sched", 0, frontier)
             frontier = store.read_epoch(spark, "frontier_sched", 0)
             # 'enqueued' admission-dedup state (scheduler mode dedups at admission)
@@ -717,6 +749,7 @@ class CrawlEngine:
                     "src", "wave_idx", "depth",
                     F.col("l.href").alias("dst"), F.col("l.anchor_text").alias("anchor_text"),
                     F.col("l.rel").alias("rel"), F.col("l.link_type").alias("link_type"),
+                    F.col("l.context_text").alias("context_text"),
                     F.col("l.pos").alias("pos"), F.col("l.from_tag").alias("from_tag"),
                 )
             )
@@ -729,7 +762,7 @@ class CrawlEngine:
                 .select(
                     "src", "dst", url_host("src").alias("src_host"),
                     url_host("dst").alias("dst_host"),
-                    "anchor_text", "link_type", "rel", "pos", "depth",
+                    "anchor_text", "link_type", "rel", "context_text", "pos", "depth",
                     *self._edge_analytics_cols(epoch),
                     F.lit(epoch).alias("epoch"),
                 )

@@ -18,7 +18,7 @@ partitioning and all three categories reuse it (persist the distinct)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def keyword_gap(
@@ -79,4 +79,100 @@ def doc_keywords(
             F.explode(grams).alias("keyword"),
         )
         .distinct()
+    )
+
+
+def serp_analysis(
+    docs: DataFrame,
+    keyword: str,
+    num_results: int = 10,
+    n_hosts: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SERP analysis job (crawl_service.py:714-749 _run_serp_analysis_job +
+    core/models.py:559-568 SERPResult): rank the corpus for a keyword and
+    emit the top-N as SERPResult-shaped rows (keyword, rank, url, title,
+    snippet, domain, position_type). The external search API is replaced by
+    corpus term-frequency relevance — score = total occurrences of the
+    keyword's tokens in the doc, pure Catalyst.
+
+    Scale shape: one scan + TakeOrderedAndProject top-N (per-partition top-N
+    merged on the driver, no global sort); rank assigned after the limit on
+    the tiny N-row result."""
+    kw_tokens = [t for t in keyword.lower().split() if t]
+    words = F.split(
+        F.lower(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9]+", " ")), r"\s+"
+    )
+    kw_arr = F.array(*[F.lit(t) for t in kw_tokens])
+    score = F.size(F.filter(words, lambda w: F.array_contains(kw_arr, w)))
+    host = F.concat(F.lit("host"), (F.col(id_col) % n_hosts).cast("string"), F.lit(".example"))
+    top = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            score.alias("score"),
+            F.concat(F.lit("https://"), host, F.lit("/page/"), F.col(id_col).cast("string")).alias("url"),
+            F.substring(F.col(text_col), 1, 60).alias("title"),
+            F.substring(F.col(text_col), 1, 160).alias("snippet"),
+            host.alias("domain"),
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(num_results)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        F.lit(keyword).alias("keyword"),
+        F.row_number().over(w).alias("rank"),
+        "url", "title", "snippet", "domain",
+        F.lit("organic").alias("position_type"),
+        "score",
+    )
+
+
+def keyword_research(
+    docs: DataFrame,
+    seed_keyword: str,
+    num_suggestions: int = 10,
+    n_gram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword research job (crawl_service.py:751-786 _run_keyword_research_job
+    + core/models.py:583-593 KeywordSuggestion): suggestions = word n-grams
+    containing the seed token, ranked by corpus document frequency; metric
+    columns (search_volume, competition, difficulty, relevance) are
+    deterministic functions of that frequency (the external Ads/Ahrefs APIs
+    have no sandbox equivalent). One n-gram explode + one distinct + one
+    groupBy — two shuffles on the phrase key, then a top-N."""
+    seed = seed_keyword.lower().split()[0] if seed_keyword.strip() else ""
+    words = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9]+", " ")), r"\s+"
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    grams = F.when(
+        F.size(words) >= n_gram,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n_gram - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n_gram)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    freq = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("keyword"))
+        .filter(F.array_contains(F.split(F.col("keyword"), " "), seed))
+        .distinct()  # document frequency, not term frequency
+        .groupBy("keyword")
+        .agg(F.count("*").alias("search_volume"))
+        .orderBy(F.desc("search_volume"), F.asc("keyword"))
+        .limit(num_suggestions)
+    )
+    return freq.select(
+        "keyword",
+        "search_volume",
+        F.round(F.col("search_volume") * 0.05, 2).alias("cpc"),
+        F.round(F.least(F.lit(1.0), F.col("search_volume") / 1000.0), 3).alias("competition"),
+        F.least(F.lit(100), F.col("search_volume")).cast("bigint").alias("difficulty"),
+        F.lit("corpus").alias("source"),
     )

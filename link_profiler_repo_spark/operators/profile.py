@@ -27,6 +27,11 @@ def link_profiles(edges: DataFrame) -> DataFrame:
         F.sum(F.when(t == "sponsored", 1).otherwise(0)).alias("sponsored_backlinks"),
         F.sum(F.when(t == "ugc", 1).otherwise(0)).alias("ugc_backlinks"),
         F.sum(F.when(t == "canonical", 1).otherwise(0)).alias("canonical_backlinks"),
+        # Backlink.context_text surface (core/models.py:350): deterministic
+        # sample (lexicographic max of non-empty contexts) per target
+        F.max(F.when(F.col("context_text") != "", F.col("context_text"))).alias(
+            "sample_context_text"
+        ),
     )
 
 

@@ -63,6 +63,36 @@ def lang_id(text: Column) -> Column:
     return F.when(stopword_ratio(text) >= 0.03, F.lit("en")).otherwise(F.lit("unk"))
 
 
+def flesch_reading_ease(text: Column) -> Column:
+    """Exact Flesch reading-ease formula (content_validator.py:103-150):
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/words), clamped to
+    [0,100]; 0 when no sentences or words. Syllables per word = vowel-group
+    count ([aeiouy]+ runs) on the letters-only word, minus one for a trailing
+    silent 'e' when >1 group, minimum 1; empty-after-cleaning words
+    contribute 0 (the reference's `continue`). Pure Catalyst: one
+    split + transform + aggregate, no UDF."""
+    raw_words = F.filter(F.split(F.lower(text), r"\s+"), lambda x: F.length(x) > 0)
+    n_words = F.size(raw_words)
+    n_sentences = F.regexp_count(text, F.lit(r"[.!?]+"))
+    cleaned = F.transform(raw_words, lambda w: F.regexp_replace(w, "[^a-z]", ""))
+    syl_of = lambda w: F.when(F.length(w) == 0, F.lit(0)).otherwise(  # noqa: E731
+        F.greatest(
+            F.lit(1),
+            F.regexp_count(w, F.lit("[aeiouy]+"))
+            - F.when(w.rlike("e$") & (F.regexp_count(w, F.lit("[aeiouy]+")) > 1), 1).otherwise(0),
+        )
+    )
+    n_syllables = F.aggregate(cleaned, F.lit(0), lambda acc, w: acc + syl_of(w))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sentences.cast("double"))
+        - F.lit(84.6) * (n_syllables.cast("double") / n_words.cast("double"))
+    )
+    return F.when((n_sentences == 0) | (n_words == 0), F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0), F.least(F.lit(100.0), score))
+    )
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Stable document fingerprint: md5 of the normalized word sequence
     (whitespace/case-insensitive content identity)."""
@@ -79,6 +109,7 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
         F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
         F.round(quality_score(t), 6).alias("quality"),
+        F.round(flesch_reading_ease(t), 4).alias("flesch"),
         lang_id(t).alias("lang_pred"),
         doc_fingerprint(t).alias("fingerprint"),
     )

@@ -116,6 +116,7 @@ def simulate_bfs(
                             "src_host": _host(url),
                             "dst_host": _host(l["href"]),
                             "anchor_text": l["anchor_text"],
+                            "context_text": l["context_text"],
                             "link_type": l["link_type"],
                             "rel": l["rel"],
                             "pos": l["pos"],
@@ -244,6 +245,13 @@ def simulate_scheduler(
 
     for s in seeds:
         admit(s, 0, scored_priority(0, 0, 0.0))
+    # sitemap -> frontier (robots_parser.py:149-171): robots `Sitemap:` URLs
+    # admitted as depth-0 candidates after the user seeds, in (host,
+    # position) order — the engine's exact twin (crawl.py scheduler init)
+    if cfg.sitemap_seeding and robots_rows:
+        for r in sorted(robots_rows, key=lambda x: x["host"]):
+            for sm in r.get("sitemaps") or []:
+                admit(sm, 0, scored_priority(0, 0, 0.0))
 
     for _epoch in range(max_epochs):
         if crawled >= cfg.max_pages or not any(buckets.values()):

@@ -45,10 +45,12 @@ def q_profile_rollup(spark, sf_dir):
         F.count_distinct("o_orderstatus").alias("n_statuses"),
         F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("urgent_cnt"),
         F.sum(F.when(F.col("o_orderpriority") == "2-HIGH", 1).otherwise(0)).alias("high_cnt"),
-        # money sums accumulate in DECIMAL so the result is exact and
-        # accumulation ORDER cannot flip the last cent between engines
-        # (the source doubles are exact 2dp values, so the cast is lossless)
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spend"),
+        # money sums accumulate as INTEGER CENTS (source doubles are exact 2dp,
+        # so round(x*100) is the exact cent count): order-independent, exact,
+        # and codegen-fast (long adds, not decimal adds)
+        (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100.0)
+        .cast("double")
+        .alias("total_spend"),
     )
 
 
@@ -56,9 +58,9 @@ SQL_PROFILE_ROLLUP = """
 SELECT o_custkey AS custkey,
        COUNT(*) AS total_orders,
        COUNT(DISTINCT o_orderstatus) AS n_statuses,
-       SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent_cnt,
-       SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high_cnt,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_cnt,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS total_spend
 FROM orders GROUP BY o_custkey
 """
 
@@ -215,11 +217,17 @@ def q_enrich_join(spark, sf_dir):
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            # exact decimal accumulation (order-independent): the source
-            # doubles are exact 2dp, so products and sums are exact decimals
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+            # exact integer accumulation in 1e-4 units (price is exact 2dp →
+            # cents; discount is exact 2dp → basis points; their product is an
+            # exact multiple of 1e-4): order-independent and codegen-fast.
+            # int64 headroom: ~1e9/row × rows — fine to ~1e9 rows per group;
+            # beyond that, pre-aggregate per partition before the final sum.
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+                    * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("bigint"))
+                )
+                / 10000.0
             ).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -228,8 +236,8 @@ def q_enrich_join(spark, sf_dir):
 
 SQL_ENRICH_JOIN = """
 SELECT n_name AS nation,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0 AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -245,20 +253,26 @@ GROUP BY n_name
 
 def q_tpch_q1(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
-    # exact decimal accumulation on every money sum (order-independent hash;
-    # the source doubles are exact 2dp / integer values, so casts are lossless)
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    one = F.lit(1).cast("decimal(3,2)")
-    disc = F.col("l_discount").cast("decimal(3,2)")
-    tax = F.col("l_tax").cast("decimal(3,2)")
+    # exact INTEGER accumulation on every money sum (order-independent hash):
+    # price/discount/tax are exact 2dp doubles, so round(x*100) recovers exact
+    # cents / basis points; products are exact multiples of 1e-4 / 1e-6.
+    # Long adds stay in whole-stage codegen (decimal adds do not).
+    # int64 headroom: sum_charge accumulates ~1e11/row — safe to ~1e7 rows per
+    # group at sf≤10; at larger SF pre-aggregate per partition or widen units.
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    disc_bp = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    tax_bp = F.round(F.col("l_tax") * 100, 0).cast("bigint")
+    qty = F.round(F.col("l_quantity"), 0).cast("bigint")
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            (F.sum(cents) / 100.0).cast("double").alias("sum_base_price"),
+            (F.sum(cents * (F.lit(100) - disc_bp)) / 10000.0).cast("double").alias("sum_disc_price"),
+            (F.sum(cents * (F.lit(100) - disc_bp) * (F.lit(100) + tax_bp)) / 1000000.0)
+            .cast("double")
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -269,13 +283,13 @@ def q_tpch_q1(spark, sf_dir):
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
-                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0 AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) / 1000000.0 AS DOUBLE) AS sum_charge,
        ROUND(AVG(l_quantity), 6) AS avg_qty,
        ROUND(AVG(l_extendedprice), 6) AS avg_price,
        ROUND(AVG(l_discount), 6) AS avg_disc,
@@ -451,17 +465,37 @@ WITH w AS (
          len(list_filter(words, x -> x IN ({_SW})))::DOUBLE
            / GREATEST(len(words), 1) AS sraw
   FROM w
+), fl AS (
+  -- Flesch reading ease (content_validator.py:103-150), re-derived
+  -- independently: raw whitespace words, [.!?]+ sentence runs, vowel-group
+  -- syllables with the silent-e adjustment and the 1-per-word floor
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS fw,
+         len(regexp_extract_all(text, '[.!?]+')) AS fs,
+         COALESCE(list_sum(list_transform(
+           list_transform(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0),
+                          x -> regexp_replace(x, '[^a-z]', '', 'g')),
+           w -> CASE WHEN length(w) = 0 THEN 0 ELSE
+                  GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+'))
+                              - CASE WHEN w LIKE '%e' AND len(regexp_extract_all(w, '[aeiouy]+')) > 1
+                                     THEN 1 ELSE 0 END)
+                END)), 0) AS fsyl
+  FROM documents
 )
-SELECT doc_id, n_tokens, n_subtokens,
+SELECT m.doc_id, n_tokens, n_subtokens,
        ROUND(praw, 6) AS punct_ratio,
        ROUND(sraw, 6) AS stopword_ratio,
        ROUND(CAST((CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 0.4
                    WHEN n_tokens >= 5 THEN 0.2 ELSE 0.0 END)
            + (CASE WHEN praw <= 0.2 THEN 0.3 ELSE 0.1 END)
            + (CASE WHEN sraw >= 0.05 THEN 0.3 ELSE 0.1 END) AS DOUBLE), 6) AS quality,
+       ROUND(CASE WHEN fs = 0 OR fw = 0 THEN 0.0
+             ELSE GREATEST(0.0, LEAST(100.0,
+                  206.835 - 1.015 * (CAST(fw AS DOUBLE) / CAST(fs AS DOUBLE))
+                          - 84.6 * (CAST(fsyl AS DOUBLE) / CAST(fw AS DOUBLE)))) END, 4) AS flesch,
        CASE WHEN sraw >= 0.03 THEN 'en' ELSE 'unk' END AS lang_pred,
        md5(array_to_string(words, ' ')) AS fingerprint
-FROM m
+FROM m JOIN fl ON m.doc_id = fl.doc_id
 """
 
 
@@ -650,6 +684,29 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_crawl_anchor_context(spark, sf_dir):
+    """Backlink.context_text surface (core/models.py:350,
+    link_extractor.py:111-132): per-link-type coverage + length stats of the
+    surrounding-text capture over real crawl output."""
+    e = _crawled_edges(spark)
+    return e.groupBy("link_type").agg(
+        F.count("*").alias("n_edges"),
+        F.sum(F.when(F.length("context_text") > 0, 1).otherwise(0)).alias("with_context"),
+        F.round(F.avg(F.length("context_text")), 4).alias("avg_context_len"),
+        F.max(F.length("context_text")).cast("bigint").alias("max_context_len"),
+    )
+
+
+SQL_CRAWL_ANCHOR_CONTEXT = f"""
+SELECT link_type, COUNT(*) AS n_edges,
+       CAST(SUM(CASE WHEN length(context_text) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS with_context,
+       ROUND(AVG(length(context_text)), 4) AS avg_context_len,
+       CAST(MAX(length(context_text)) AS BIGINT) AS max_context_len
+FROM read_parquet('{_GATE_EDGES_PATH}/*.parquet')
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # J6: keyword-gap competitive analysis (core/models.py:624-644) over keyword
 # sets derived deterministically from the documents corpus
@@ -750,8 +807,10 @@ WITH s AS (
          SUM(CASE WHEN ok IS NOT NULL THEN 1 ELSE 0 END) AS crawled_targets
   FROM j GROUP BY dst_host
 )
-SELECT dst_host, inbound_links, referring_hosts, dofollow_links, crawled_targets,
-       referring_hosts * 10 + dofollow_links * 2 AS equity_score
+SELECT dst_host, inbound_links, referring_hosts,
+       CAST(dofollow_links AS BIGINT) AS dofollow_links,
+       CAST(crawled_targets AS BIGINT) AS crawled_targets,
+       CAST(referring_hosts * 10 + dofollow_links * 2 AS BIGINT) AS equity_score
 FROM per WHERE resolved_ok = 0
 """
 
@@ -868,12 +927,138 @@ SPARK_QUERIES["seo_metrics_sql"] = q_seo_metrics_sql
 
 SQL_ORACLES["crawl_link_velocity"] = SQL_CRAWL_LINK_VELOCITY
 SQL_ORACLES["crawl_edge_quality"] = SQL_CRAWL_EDGE_QUALITY
+SQL_ORACLES["crawl_anchor_context"] = SQL_CRAWL_ANCHOR_CONTEXT
+SPARK_QUERIES["crawl_anchor_context"] = q_crawl_anchor_context
+
+
+def q_crawl_domain_history(spark, sf_dir):
+    """DomainHistory snapshot table (core/models.py:740-762) derived from
+    real crawl output in one pass (operators/history.py)."""
+    from .operators.history import domain_history_from_edges
+
+    return domain_history_from_edges(_crawled_edges(spark))
+
+
+SQL_CRAWL_DOMAIN_HISTORY = f"""
+WITH per AS (
+  SELECT dst_host, epoch,
+         COUNT(*) AS _links,
+         SUM(CASE WHEN spam_level <> 'clean' THEN 1 ELSE 0 END) AS _spam,
+         MAX(discovered_at) AS snapshot_ts
+  FROM read_parquet('{_GATE_EDGES_PATH}/*.parquet')
+  GROUP BY 1, 2
+), firsts AS (
+  SELECT dst_host, epoch, COUNT(*) AS _new_refs FROM (
+    SELECT dst_host, src_host, MIN(epoch) AS epoch
+    FROM read_parquet('{_GATE_EDGES_PATH}/*.parquet')
+    GROUP BY 1, 2
+  ) GROUP BY 1, 2
+), j AS (
+  SELECT per.dst_host, per.epoch, per.snapshot_ts, per._links, per._spam,
+         COALESCE(firsts._new_refs, 0) AS _new_refs
+  FROM per LEFT JOIN firsts ON per.dst_host = firsts.dst_host AND per.epoch = firsts.epoch
+), c AS (
+  SELECT dst_host AS domain, epoch, snapshot_ts,
+         CAST(SUM(_links) OVER w AS BIGINT) AS total_backlinks,
+         CAST(SUM(_new_refs) OVER w AS BIGINT) AS referring_domains,
+         ROUND(SUM(_spam) OVER w * 100.0 / SUM(_links) OVER w, 4) AS spam_score
+  FROM j
+  WINDOW w AS (PARTITION BY dst_host ORDER BY epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT domain, epoch, snapshot_ts, total_backlinks, referring_domains, spam_score,
+       CAST(LEAST(100.0, referring_domains * 10.0) AS DOUBLE) AS authority_score,
+       CAST(GREATEST(0.0, 100.0 - spam_score) AS DOUBLE) AS trust_score,
+       snapshot_ts AS last_fetched_at
+FROM c
+"""
+
+SQL_ORACLES["crawl_domain_history"] = SQL_CRAWL_DOMAIN_HISTORY
+SPARK_QUERIES["crawl_domain_history"] = q_crawl_domain_history
 SQL_ORACLES["expired_domains"] = SQL_EXPIRED_DOMAINS
 SQL_ORACLES["structured_data"] = SQL_STRUCTURED_DATA
 SPARK_QUERIES["crawl_link_velocity"] = q_crawl_link_velocity
 SPARK_QUERIES["crawl_edge_quality"] = q_crawl_edge_quality
 SPARK_QUERIES["expired_domains"] = q_expired_domains
 SPARK_QUERIES["structured_data"] = q_structured_data
+
+
+# ---------------------------------------------------------------------------
+# SERP analysis + keyword research job types (crawl_service.py:714-786) —
+# external search/ads APIs replaced by corpus term-frequency relevance; the
+# oracle re-ranks the same documents independently in DuckDB
+# ---------------------------------------------------------------------------
+
+_SERP_KEYWORD = "fast table"
+_KW_SEED = "table"
+
+
+def q_serp_analysis(spark, sf_dir):
+    from .operators.keywords import serp_analysis
+
+    d = load(spark, sf_dir, "documents")
+    return serp_analysis(d, _SERP_KEYWORD, num_results=10)
+
+
+SQL_SERP_ANALYSIS = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(list_filter(
+           string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), '\\s+'),
+           w -> list_contains(['fast', 'table'], w))) AS INT) AS score,
+         'https://host' || CAST(doc_id % 16 AS VARCHAR) || '.example/page/' || CAST(doc_id AS VARCHAR) AS url,
+         substr(text, 1, 60) AS title,
+         substr(text, 1, 160) AS snippet,
+         'host' || CAST(doc_id % 16 AS VARCHAR) || '.example' AS domain
+  FROM documents
+), top AS (
+  SELECT * FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
+)
+SELECT '{_SERP_KEYWORD}' AS keyword,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       url, title, snippet, domain,
+       'organic' AS position_type, score
+FROM top
+"""
+
+
+def q_keyword_research(spark, sf_dir):
+    from .operators.keywords import keyword_research
+
+    d = load(spark, sf_dir, "documents")
+    return keyword_research(d, _KW_SEED, num_suggestions=10)
+
+
+SQL_KEYWORD_RESEARCH = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), '\\s+'),
+                     w -> length(w) > 0) AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws) - 1),
+                        i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])) AS grams
+  FROM t WHERE len(ws) >= 3
+), e AS (
+  SELECT DISTINCT doc_id, unnest(grams) AS keyword FROM g
+), f AS (
+  SELECT keyword, CAST(COUNT(*) AS BIGINT) AS search_volume
+  FROM e WHERE list_contains(string_split(keyword, ' '), '{_KW_SEED}')
+  GROUP BY keyword ORDER BY search_volume DESC, keyword LIMIT 10
+)
+SELECT keyword, search_volume,
+       CAST(ROUND(CAST(search_volume AS DOUBLE) * 0.05, 2) AS DOUBLE) AS cpc,
+       CAST(ROUND(LEAST(1.0, search_volume / 1000.0), 3) AS DOUBLE) AS competition,
+       CAST(LEAST(100, search_volume) AS BIGINT) AS difficulty,
+       'corpus' AS source
+FROM f
+"""
+
+SQL_ORACLES["serp_analysis"] = SQL_SERP_ANALYSIS
+SQL_ORACLES["keyword_research"] = SQL_KEYWORD_RESEARCH
+SPARK_QUERIES["serp_analysis"] = q_serp_analysis
+SPARK_QUERIES["keyword_research"] = q_keyword_research
 
 
 # -- crawl-native queries (rows-only driver check; exact oracles in pytest) --

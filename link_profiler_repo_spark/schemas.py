@@ -35,6 +35,7 @@ LINK = T.StructType(
         T.StructField("anchor_text", T.StringType(), True),
         T.StructField("rel", T.ArrayType(T.StringType()), True),
         T.StructField("link_type", T.StringType(), True),
+        T.StructField("context_text", T.StringType(), True),  # models.py:350, link_extractor.py:111-132
         T.StructField("pos", T.IntegerType(), False),  # document order, 0-based
         T.StructField("from_tag", T.StringType(), False),  # 'a' | 'link'
     ]
@@ -73,6 +74,7 @@ EDGES = T.StructType(
         T.StructField("anchor_text", T.StringType(), True),
         T.StructField("link_type", T.StringType(), True),
         T.StructField("rel", T.ArrayType(T.StringType()), True),
+        T.StructField("context_text", T.StringType(), True),  # Backlink.context_text (models.py:350)
         T.StructField("pos", T.IntegerType(), True),
         T.StructField("depth", T.IntegerType(), True),
         T.StructField("epoch", T.IntegerType(), True),

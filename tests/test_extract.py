@@ -128,3 +128,36 @@ def test_extract_udf_matches_python(spark):
         assert r["href"] == p["href"]
         assert r["link_type"] == p["link_type"]
         assert r["pos"] == p["pos"]
+
+
+def test_context_text_capture():
+    """link_extractor.py:111-132 _get_context_text: prev text + anchor +
+    next text, stripped, truncated to 100 chars; canonical rows empty."""
+    from link_profiler_repo_spark.functions.extract import parse_links
+
+    spans = [
+        {
+            "kind": "text",
+            "text": 'intro words <a href="http://t.test/x">click here</a> trailing bit <b>tag</b>'
+            ' <link rel="canonical" href="http://t.test/c">',
+            "media_ref": None,
+            "offset": 0,
+        }
+    ]
+    links = parse_links("http://s.test/", spans)
+    a = [l for l in links if l["from_tag"] == "a"][0]
+    assert a["context_text"] == "intro words click here trailing bit"
+    c = [l for l in links if l["from_tag"] == "link"][0]
+    assert c["context_text"] == ""
+    # truncation to 100 chars
+    long_spans = [
+        {
+            "kind": "text",
+            "text": "x" * 90 + ' <a href="http://t.test/y">anchor text that is long</a>',
+            "media_ref": None,
+            "offset": 0,
+        }
+    ]
+    (l2,) = [l for l in parse_links("http://s.test/", long_spans) if l["from_tag"] == "a"]
+    assert len(l2["context_text"]) == 100
+    assert l2["context_text"].startswith("x" * 90)

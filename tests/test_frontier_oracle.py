@@ -163,3 +163,35 @@ def test_scheduler_dead_letter_matches_oracle(sched_run):
     assert expected.dead_letter, "fixture should produce dead-letter entries"
     got_dead = {(r["url"], int(r["retries"])) for r in out["dead_letter"].collect()}
     assert got_dead == set(expected.dead_letter)
+
+
+def test_scheduler_sitemap_seeding_matches_oracle(spark, docs_df):
+    """Sitemap -> frontier wiring (robots_parser.py:149-171): robots
+    `Sitemap:` URLs join the frontier as depth-0 candidates after the user
+    seeds; one duplicates a seed (admission-dedup keeps the seed), one points
+    at a page outside the corpus (fetch-misses but is still scheduled)."""
+    from link_profiler_repo_spark.schemas import ROBOTS
+    from link_profiler_repo_spark.synth import page_url
+
+    cfg = CrawlConfig(
+        job_id="smseed", max_depth=3, max_pages=50, host_budget=2,
+        epoch_seconds=2.0, max_retries=1,
+    )
+    docs, seeds = build_fixture(P, n_seeds=2)
+    rr = robots_rows(P)
+    # graft sitemaps onto two hosts: a fresh deep page, a seed duplicate,
+    # and a URL with no backing doc
+    rr[0] = dict(rr[0], sitemaps=[page_url(5, 3), seeds[0]])
+    rr[1] = dict(rr[1], sitemaps=["http://h001.test/no-such-page"])
+    expected = simulate_scheduler(docs, seeds, cfg, P, robots_rows=rr)
+    eng = CrawlEngine(
+        spark, cfg, docs_df, tempfile.mkdtemp(), synth_params=P,
+        robots_df=spark.createDataFrame(rr, schema=ROBOTS),
+        use_bloom=False, metrics_enabled=False,
+    )
+    out = eng.run_scheduler(seeds, collect_waves=True)
+    assert out["waves"] == expected.waves
+    got_seen = {r["url"] for r in out["seen"].select("url").collect()}
+    assert got_seen == expected.seen
+    # the sitemap-only page really was discovered via the sitemap path
+    assert page_url(5, 3) in got_seen

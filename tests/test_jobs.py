@@ -47,3 +47,42 @@ def test_pop_next_job_priority_fifo(spark):
     assert got[0]["job_id"] == "j2"
     plan = pop_next_job(df)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # no global sort materialization
+
+
+def test_serp_analysis_job_golden(spark):
+    """crawl_service.py:714-749: top-N SERPResult rows, corpus TF relevance."""
+    rows = [
+        (0, "fast table scan with fast merge and a fast table"),
+        (1, "table value part hash"),
+        (2, "nothing relevant here at all"),
+        (3, "fast fast fast"),
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = run_job("serp_analysis", spark, docs, "fast table", num_results=3).collect()
+    # doc0 score 5 (3 fast + 2 table), doc3 score 3, doc1 score 1
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    assert [r["url"].split("/")[-1] for r in got] == ["0", "3", "1"]
+    assert got[0]["keyword"] == "fast table"
+    assert got[0]["position_type"] == "organic"
+    assert got[0]["domain"] == "host0.example"
+    assert got[0]["score"] == 5
+
+
+def test_keyword_research_job_golden(spark):
+    """crawl_service.py:751-786: n-gram suggestions ranked by doc frequency."""
+    rows = [
+        (0, "big data table scan engine"),
+        (1, "big data table scan engine"),
+        (2, "data table scan"),
+        (3, "unrelated words entirely here"),
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {r["keyword"]: r for r in run_job(
+        "keyword_research", spark, docs, "table", num_suggestions=5
+    ).collect()}
+    # "data table scan" appears in docs 0,1,2 -> volume 3
+    assert got["data table scan"]["search_volume"] == 3
+    assert got["big data table"]["search_volume"] == 2
+    assert all(" " in k and "table" in k.split() for k in got)
+    assert got["data table scan"]["difficulty"] == 3
+    assert got["data table scan"]["source"] == "corpus"

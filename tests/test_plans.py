@@ -35,10 +35,10 @@ def test_enrich_join_broadcasts_dims(spark):
 
 def test_profile_rollup_has_no_global_window(spark):
     edges = spark.createDataFrame(
-        [("s", "t", "sh", "th", "a", "dofollow", [], 0, 1, 1)],
+        [("s", "t", "sh", "th", "a", "dofollow", [], "ctx", 0, 1, 1)],
         schema="src string, dst string, src_host string, dst_host string,"
-        "anchor_text string, link_type string, rel array<string>, pos int,"
-        "depth int, epoch int",
+        "anchor_text string, link_type string, rel array<string>, context_text string,"
+        "pos int, depth int, epoch int",
     )
     assert_no_single_partition_exchange(link_profiles(edges))
     assert_no_single_partition_exchange(full_link_profile(edges))

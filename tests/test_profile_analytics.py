@@ -20,16 +20,16 @@ from link_profiler_repo_spark.operators.profile import (
 )
 
 EDGES = [
-    # src, dst, src_host, dst_host, anchor_text, link_type, rel, pos, depth, epoch
-    ("http://a.test/1", "http://t.test/x", "a.test", "t.test", "hello", "dofollow", [], 0, 1, 1),
-    ("http://a.test/2", "http://t.test/x", "a.test", "t.test", "hello", "nofollow", ["nofollow"], 0, 1, 1),
-    ("http://b.test/1", "http://t.test/x", "b.test", "t.test", "world", "dofollow", [], 1, 2, 2),
-    ("http://b.test/1", "http://t.test/y", "b.test", "t.test", "other", "sponsored", ["sponsored"], 2, 2, 2),
-    ("http://c.test/1", "http://t.test/x", "c.test", "t.test", "hello", "ugc", ["ugc"], 0, 1, 1),
+    # src, dst, src_host, dst_host, anchor_text, link_type, rel, context_text, pos, depth, epoch
+    ("http://a.test/1", "http://t.test/x", "a.test", "t.test", "hello", "dofollow", [], "see hello here", 0, 1, 1),
+    ("http://a.test/2", "http://t.test/x", "a.test", "t.test", "hello", "nofollow", ["nofollow"], "", 0, 1, 1),
+    ("http://b.test/1", "http://t.test/x", "b.test", "t.test", "world", "dofollow", [], "world ctx", 1, 2, 2),
+    ("http://b.test/1", "http://t.test/y", "b.test", "t.test", "other", "sponsored", ["sponsored"], "", 2, 2, 2),
+    ("http://c.test/1", "http://t.test/x", "c.test", "t.test", "hello", "ugc", ["ugc"], "", 0, 1, 1),
 ]
 SCHEMA = (
     "src string, dst string, src_host string, dst_host string, anchor_text string,"
-    "link_type string, rel array<string>, pos int, depth int, epoch int"
+    "link_type string, rel array<string>, context_text string, pos int, depth int, epoch int"
 )
 
 
@@ -136,3 +136,46 @@ def test_keyword_gap_golden(spark):
         ("c2", "epsilon", "gap"),
         ("p", "gamma", "primary_unique"),
     }
+
+
+def test_domain_history_producer_and_latest(spark):
+    """DomainHistory producer (core/models.py:740-762) from the edge log,
+    consumed by W6 latest-N: cumulative totals, first-epoch referring-domain
+    accounting, spam share; latest row per domain is the newest snapshot."""
+    import pyspark.sql.functions as F
+
+    from link_profiler_repo_spark.operators.history import (
+        domain_history_from_edges,
+        domain_history_latest,
+    )
+
+    rows = [
+        # src_host, dst_host, spam_level, epoch, discovered_at
+        ("a.test", "t.test", "clean", 1, "2024-01-01 00:00:02"),
+        ("b.test", "t.test", "suspicious", 1, "2024-01-01 00:00:04"),
+        ("a.test", "t.test", "clean", 2, "2024-01-01 00:00:06"),  # repeat ref
+        ("c.test", "t.test", "clean", 3, "2024-01-01 00:00:08"),  # new ref
+        ("a.test", "u.test", "clean", 2, "2024-01-01 00:00:06"),
+    ]
+    edges = spark.createDataFrame(
+        rows,
+        schema="src_host string, dst_host string, spam_level string, epoch int,"
+        " discovered_at string",
+    ).withColumn("discovered_at", F.to_timestamp("discovered_at"))
+    hist = {(r["domain"], r["epoch"]): r for r in domain_history_from_edges(edges).collect()}
+    assert hist[("t.test", 1)]["total_backlinks"] == 2
+    assert hist[("t.test", 1)]["referring_domains"] == 2
+    assert hist[("t.test", 1)]["spam_score"] == 50.0
+    assert hist[("t.test", 2)]["total_backlinks"] == 3
+    assert hist[("t.test", 2)]["referring_domains"] == 2  # a.test repeat
+    assert hist[("t.test", 3)]["referring_domains"] == 3  # c.test new
+    assert hist[("t.test", 3)]["spam_score"] == 25.0
+    assert hist[("t.test", 1)]["authority_score"] == 20.0
+    assert hist[("t.test", 1)]["trust_score"] == 50.0
+    latest = {
+        r["domain"]: r["epoch"]
+        for r in domain_history_latest(
+            domain_history_from_edges(edges), ts_col="epoch"
+        ).collect()
+    }
+    assert latest == {"t.test": 3, "u.test": 2}

@@ -152,3 +152,54 @@ def test_host_state_stream_matches_batch(spark, tmp_path):
     }
     assert last == expected
     assert expected["h3"][1] == "open" and expected["h0"][1] == "closed"
+
+
+def test_flesch_matches_reference_transcription(spark):
+    """Exact Flesch reading ease (content_validator.py:103-150): the Catalyst
+    expression must equal a direct Python transcription of the reference
+    algorithm on clamped AND mid-range inputs."""
+    import re
+
+    def ref_flesch(content):
+        sentences = len(re.findall(r"[.!?]+", content))
+        words = len(content.split())
+        total = 0
+        for word in content.lower().split():
+            word = re.sub(r"[^a-z]", "", word)
+            if not word:
+                continue
+            vowels = "aeiouy"
+            syl = 0
+            prev = False
+            for ch in word:
+                isv = ch in vowels
+                if isv and not prev:
+                    syl += 1
+                prev = isv
+            if word.endswith("e") and syl > 1:
+                syl -= 1
+            total += max(1, syl)
+        if sentences == 0 or words == 0:
+            return 0.0
+        return max(0.0, min(100.0, 206.835 - 1.015 * (words / sentences) - 84.6 * (total / words)))
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog. It was easy to read!",
+        "no sentence markers at all",
+        "",
+        "One. Two! Three? 123 456 e e e",
+        "Cats sleep. Dogs bark loudly. Understanding animal behavior requires "
+        "observation and patience over considerable time periods.",
+        "Performance matters. Simple code wins. People like short words. "
+        "It is good. Yes it is!",
+    ]
+    from link_profiler_repo_spark.operators.textops import flesch_reading_ease
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r["i"]: r["f"]
+        for r in df.select("i", flesch_reading_ease(F.col("text")).alias("f")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert abs(got[i] - ref_flesch(t)) < 1e-9, (i, got[i], ref_flesch(t))
+    assert any(0.0 < got[i] < 100.0 for i in got), "need a mid-range case"

@@ -67,6 +67,20 @@ def main() -> None:
         schema = list(sdf.columns) == list(odf.columns)
         if rows and schema:
             try:
+                # dtype-KIND-strict: the driver's value hash stringifies, so
+                # int32 vs int64 and datetime[ns] vs [us] pass it, but
+                # int64 vs float64 does NOT ("5" != "5.0" — the DuckDB
+                # SUM(int)->HUGEINT->float64 artifact that sat red through
+                # rounds 1-2). Mirror exactly that: values exact, and the
+                # numpy dtype KIND (i/u/f/b/M/O) must match per column.
+                fam = lambda d: {"u": "i"}.get(d.kind, d.kind)  # noqa: E731
+                kind_mismatch = [
+                    (c, sdf[c].dtype, odf[c].dtype)
+                    for c in sdf.columns
+                    if fam(sdf[c].dtype) != fam(odf[c].dtype)
+                ]
+                if kind_mismatch:
+                    raise AssertionError(f"dtype-kind mismatch: {kind_mismatch}")
                 pd.testing.assert_frame_equal(
                     sdf, odf, check_dtype=False, check_exact=True
                 )
