@@ -16,6 +16,7 @@ records rows-only checks; their exact oracles are the pytest equality suites
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pyspark.sql.functions as F
@@ -629,8 +630,12 @@ SPARK_QUERIES = {
 # actual output schema — discovered_at/http_status/spam_level, VERDICT r01 #8)
 # ---------------------------------------------------------------------------
 
-_GATE_EDGES_PATH = "/tmp/spark_graft_gate_edges"
-_GATE_SEEN_PATH = "/tmp/spark_graft_gate_seen"
+# pid-suffixed so two concurrent gate runs (driver + a local check) cannot
+# clobber each other's parquet; the oracle SQL strings interpolate the same
+# module-level constant, so Spark writer and DuckDB reader always agree
+# within a process (VERDICT r02 minor #6)
+_GATE_EDGES_PATH = f"/tmp/spark_graft_gate_edges_{os.getpid()}"
+_GATE_SEEN_PATH = f"/tmp/spark_graft_gate_seen_{os.getpid()}"
 
 
 _CRAWLED_EDGES_MEMO: set = set()
@@ -1112,6 +1117,10 @@ def q_crawl_link_profile(spark, sf_dir):
 def q_minhash_pairs(spark, sf_dir):
     from .operators.dedup import minhash_lsh_dup
 
+    # capped input: MinHash signatures over full sf0.1 docs would dominate
+    # gate runtime; 2000 docs exercise the identical plan (sig -> band
+    # buckets -> pair join). The cap is a declared gate-budget choice, not a
+    # scale limit — bench.py and the dedup tests run the operator uncapped.
     d = load(spark, sf_dir, "documents").limit(2000)
     return minhash_lsh_dup(d, threshold=0.5)
 
@@ -1156,17 +1165,6 @@ def q_crawl_scheduler_order(spark, sf_dir):
     return out["seen"].select("crawl_order", "url", "depth").orderBy("crawl_order")
 
 
-def q_seo_metrics(spark, sf_dir):
-    from .functions.seo import page_text, parse_seo_metrics_udf
-    from .synth import SynthParams, synth_docs_spark
-
-    docs = synth_docs_spark(spark, SynthParams(n_docs=60, n_hosts=6))
-    return docs.select(
-        "doc_id",
-        parse_seo_metrics_udf(F.col("doc_id"), page_text("spans")).alias("seo"),
-    ).select("doc_id", "seo.*")
-
-
 def q_streaming_metrics(spark, sf_dir):
     """Structured Streaming windowed counters over the events table, driven
     to completion (AvailableNow-style) and returned as a batch DataFrame."""
@@ -1208,5 +1206,6 @@ ROWS_ONLY_QUERIES = {
     "minhash_near_dup": q_minhash_pairs,
     "ivf_ann_topk": q_ivf_topk,
     "media_features": q_media_features,
-    "seo_metrics": q_seo_metrics,
+    # (r2's rows-only "seo_metrics" dropped: fully redundant with the
+    # SQL-oracled seo_metrics_sql row, which re-derives every regex in DuckDB)
 }
