@@ -78,6 +78,10 @@ def with_global_index(
         _PERSISTED.append(out)
         return out, out.count()
 
+    # NOTE: repartitionByRange runs a sampling pass over its child before the
+    # shuffle; persisting the input first was A/B-tested (r3) and changed
+    # total task CPU by ~0 at bench scale (the upstream is cheap or the wave
+    # took the small-path) while adding cache-management jobs — not worth it.
     sorted_df = (
         df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)

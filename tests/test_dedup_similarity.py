@@ -102,3 +102,36 @@ def test_ivf_trained_recall_sf01(spark):
     ) / len(exact)
     base.unpersist()
     assert recall >= 0.9, f"recall@10 = {recall:.3f}"
+
+
+def test_ivf_clustered_small_nprobe(spark):
+    """The 100 TB scale path for IVF: on a CLUSTERED corpus (real embedding
+    distributions), a small nprobe — here 8 of 32 cells, 25% — already
+    reaches recall@10 >= 0.9 against brute force, because trained centroids
+    align with the clusters and neighbors co-locate. (The gate's uniform
+    fixture needs the defensive ~36% default; this asserts the favorable
+    regime actually works so the small-nprobe claim isn't hand-waving.)"""
+    import numpy as np
+
+    from link_profiler_repo_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((16, 64)).astype("float32") * 4
+    rows = []
+    for i in range(1200):
+        c = centers[i % 16]
+        rows.append((i, (c + rng.standard_normal(64).astype("float32") * 0.3).tolist()))
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    qs = df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in brute_force_topk(df, qs, k=10).collect()
+    }
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_topk(df, qs, k=10, nlist=32, nprobe=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"clustered-corpus recall@10 {recall} with nprobe=25%"
