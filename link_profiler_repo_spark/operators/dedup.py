@@ -16,6 +16,9 @@ with keyed aggregations. Nothing here collects to the driver.
                       blocking key (for oracle-checkable small blocks).
 - embedding_near_dup: cosine near-duplicates over an embedding column,
                       LSH-bucketed by random hyperplanes.
+- partial_dup_pairs:  rolling-hash content-defined chunking (FastCDC/rsync
+                      family): shared-chunk counting detects PARTIAL overlap
+                      and containment that whole-doc signatures miss.
 """
 
 from __future__ import annotations
@@ -322,3 +325,117 @@ def blocked_cosine_pairs(
     return pairs.select(
         F.col("a._id").alias("a"), F.col("b._id").alias("b"), cos.alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+# -- rolling-hash document fingerprinting (content-defined chunking) ----------
+
+_CDC_P = np.uint64(1099511628211)  # FNV prime, odd => invertible mod 2^64
+_CDC_PINV = np.uint64(pow(int(_CDC_P), -1, 1 << 64))
+
+
+def _cdc_chunk_hashes(
+    data: bytes,
+    window: int = 16,
+    mask_bits: int = 6,
+    min_len: int = 32,
+    max_len: int = 256,
+) -> np.ndarray:
+    """Content-defined chunk hashes of one document (FastCDC/rsync family):
+    a polynomial rolling hash over a `window`-byte window marks a chunk
+    boundary wherever its low `mask_bits` bits are zero (expected chunk
+    ~2^mask_bits bytes, clamped to [min_len, max_len]); each chunk's hash is
+    the same polynomial over the whole chunk. Because boundaries depend on
+    CONTENT, an edit only reshuffles the chunks it touches — all other chunk
+    hashes survive byte-identical, which is what makes shared-chunk counting
+    a partial-duplicate detector.
+
+    Vectorized: prefix sums of b[j]*p^j in uint64 (wraparound is the hash),
+    window hashes = (S[i+w-1] - S[i-1]) * p^-i — no per-byte Python loop;
+    only the sparse boundary list is walked in Python."""
+    n = len(data)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        idx = np.arange(n, dtype=np.uint64)
+        # p^j and p^-j via log-time build on the exponent bits (cumprod of a
+        # constant is fine too; both wrap mod 2^64)
+        pw = np.empty(n, dtype=np.uint64)
+        pw[0] = np.uint64(1)
+        if n > 1:
+            np.multiply.accumulate(np.full(n - 1, _CDC_P, dtype=np.uint64), out=pw[1:])
+        pinv = np.empty(n, dtype=np.uint64)
+        pinv[0] = np.uint64(1)
+        if n > 1:
+            np.multiply.accumulate(np.full(n - 1, _CDC_PINV, dtype=np.uint64), out=pinv[1:])
+        S = np.cumsum(b * pw, dtype=np.uint64)  # S[i] = sum b[j] p^j, wraps
+
+        def span_hash(s: int, e: int) -> np.uint64:
+            # polynomial of data[s:e], normalized to start at p^0
+            tot = S[e - 1] - (S[s - 1] if s > 0 else np.uint64(0))
+            return tot * pinv[s]
+
+        w = min(window, n)
+        ends = np.arange(w - 1, n)
+        wh = (S[ends] - np.where(ends >= w, S[ends - w], np.uint64(0))) * pinv[ends - w + 1]
+        mask = np.uint64((1 << mask_bits) - 1)
+        cut_after = ends[(wh & mask) == 0] + 1  # boundary AFTER this byte
+        out = []
+        start = 0
+        for c in cut_after.tolist():
+            if c - start < min_len:
+                continue
+            while c - start > max_len:  # clamp oversized chunks
+                out.append(span_hash(start, start + max_len))
+                start += max_len
+            out.append(span_hash(start, c))
+            start = c
+        while n - start > max_len:
+            out.append(span_hash(start, start + max_len))
+            start += max_len
+        if n - start > 0:
+            out.append(span_hash(start, n))
+    return (np.array(out, dtype=np.uint64) >> np.uint64(1)).astype(np.int64)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def cdc_chunk_hashes_udf(text: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_cdc_chunk_hashes((t or "").encode()).tolist() for t in text],
+        index=text.index,
+        dtype=object,
+    )
+
+
+def partial_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 3,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Partial-duplicate pairs by shared content-defined chunks: docs that
+    share >= min_shared chunk hashes (a superset/containment detector that
+    MinHash-over-whole-doc misses when one doc embeds another). Shuffles on
+    the chunk hash only; postings longer than max_posting (boilerplate
+    chunks shared by everyone) are dropped like stop-words — without the cap
+    a single viral chunk would create a quadratic pair explosion.
+    Returns (a, b, shared_chunks)."""
+    chunks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(cdc_chunk_hashes_udf(F.col(text_col))).alias("chunk"),
+    ).distinct()
+    posting_ok = (
+        chunks.groupBy("chunk")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n").between(2, max_posting))
+        .select("chunk")
+    )
+    c2 = chunks.join(posting_ok, "chunk", "left_semi")
+    a, b = c2.alias("a"), c2.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("a"), F.col("b._id").alias("b"))
+        .agg(F.count("*").alias("shared_chunks"))
+        .filter(F.col("shared_chunks") >= min_shared)
+    )

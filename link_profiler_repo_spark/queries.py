@@ -980,6 +980,56 @@ FROM c
 
 SQL_ORACLES["crawl_domain_history"] = SQL_CRAWL_DOMAIN_HISTORY
 SPARK_QUERIES["crawl_domain_history"] = q_crawl_domain_history
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized embedding search (the 100 TB storage path): both engines
+# quantize independently and rank on integer-exact cosines
+# ---------------------------------------------------------------------------
+
+def q_quantized_topk(spark, sf_dir):
+    from .operators.similarity import quantized_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    vs = e.filter(F.col("vec_id") >= 5)
+    return quantized_topk(vs, qs, k=10, round_to=6)
+
+
+SQL_QUANTIZED_TOPK = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x))) AS amax
+  FROM embeddings
+), q8 AS (
+  SELECT vec_id,
+         CASE WHEN amax > 0
+              THEN list_transform(embedding,
+                     x -> CAST(ROUND(CAST(x AS DOUBLE) / CAST(amax AS DOUBLE) * 127) AS INT))
+              ELSE list_transform(embedding, x -> 0) END AS qvec
+  FROM base
+), q AS (SELECT vec_id AS q_id, qvec AS q_vec FROM q8 WHERE vec_id < 5),
+v AS (SELECT vec_id, qvec FROM q8 WHERE vec_id >= 5),
+scored AS (
+  SELECT q.q_id, v.vec_id,
+         list_sum(list_transform(list_zip(q.q_vec, v.qvec),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / ( sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(v.qvec,  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )
+         AS cos
+  FROM q CROSS JOIN v
+), ranked AS (
+  SELECT q_id, vec_id, ROUND(cos, 6) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cos, 6) DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+SQL_ORACLES["quantized_topk"] = SQL_QUANTIZED_TOPK
+SPARK_QUERIES["quantized_topk"] = q_quantized_topk
 SQL_ORACLES["expired_domains"] = SQL_EXPIRED_DOMAINS
 SQL_ORACLES["structured_data"] = SQL_STRUCTURED_DATA
 SPARK_QUERIES["crawl_link_velocity"] = q_crawl_link_velocity
@@ -1125,6 +1175,16 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_dup(d, threshold=0.5)
 
 
+def q_partial_dup(spark, sf_dir):
+    """Rolling-hash CDC partial-duplicate pairs (containment detector) over
+    the documents corpus; exact oracle is the pytest golden (the rolling
+    hash is not SQL-expressible)."""
+    from .operators.dedup import partial_dup_pairs
+
+    d = load(spark, sf_dir, "documents").limit(2000)
+    return partial_dup_pairs(d, min_shared=2)
+
+
 def q_ivf_topk(spark, sf_dir):
     from .operators.similarity import ivf_topk
 
@@ -1206,6 +1266,7 @@ ROWS_ONLY_QUERIES = {
     "minhash_near_dup": q_minhash_pairs,
     "ivf_ann_topk": q_ivf_topk,
     "media_features": q_media_features,
+    "partial_dup_chunks": q_partial_dup,
     # (r2's rows-only "seo_metrics" dropped: fully redundant with the
     # SQL-oracled seo_metrics_sql row, which re-derives every regex in DuckDB)
 }

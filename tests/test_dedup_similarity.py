@@ -135,3 +135,57 @@ def test_ivf_clustered_small_nprobe(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"clustered-corpus recall@10 {recall} with nprobe=25%"
+
+
+def test_quantized_topk_recall_vs_float(spark):
+    """int8 quantization (4x storage reduction for the 100 TB embedding
+    corpus) must keep recall@10 >= 0.95 vs the float32 exact baseline, and
+    the quantized cosine must stay within ~1/127 of the float value."""
+    import numpy as np
+
+    from link_profiler_repo_spark.operators.similarity import quantized_topk
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, rng.standard_normal(64).astype("float32").tolist()) for i in range(500)]
+    df = spark.createDataFrame(vecs, schema="vec_id long, embedding array<float>")
+    qs = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    vs = df.filter(F.col("vec_id") >= 10)
+    exact = {(r["q_id"], r["vec_id"]): r["cosine"] for r in brute_force_topk(vs, qs, k=10).collect()}
+    quant = {(r["q_id"], r["vec_id"]): r["cosine"] for r in quantized_topk(vs, qs, k=10).collect()}
+    recall = len(set(exact) & set(quant)) / len(exact)
+    assert recall >= 0.95, f"int8 recall@10 {recall}"
+    for key in set(exact) & set(quant):
+        assert abs(exact[key] - quant[key]) < 0.02, (key, exact[key], quant[key])
+
+
+def test_cdc_partial_dup_pairs(spark):
+    """Rolling-hash content-defined chunking: docs sharing a large embedded
+    passage are flagged as partial duplicates (containment — the case
+    whole-doc MinHash misses), edits only disturb local chunks, and
+    unrelated docs share nothing."""
+    import numpy as np
+
+    from link_profiler_repo_spark.operators.dedup import partial_dup_pairs
+
+    words = ["table", "scan", "fast", "merge", "row", "key", "value", "join",
+             "filter", "group", "sort", "hash", "spark", "data", "query",
+             "batch", "line", "part", "order", "window"]
+
+    def prose(n, seed):
+        r = np.random.default_rng(seed)
+        return " ".join(words[i] for i in r.integers(0, len(words), n))
+
+    base = prose(600, 1)
+    edited = base[:1500] + "XXEDITXX" + base[1508:]
+    other = prose(600, 2)
+    contained = other[:90] + " " + base[:1500] + " " + other[90:180]
+    rows = [(1, base), (2, edited), (3, other), (4, contained)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    pairs = {(r["a"], r["b"]): r["shared_chunks"]
+             for r in partial_dup_pairs(df, min_shared=3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 20   # near-identical
+    assert (1, 4) in pairs and pairs[(1, 4)] >= 5    # containment
+    assert (1, 3) not in pairs                       # unrelated
+    assert (2, 4) in pairs                           # shared passage transitively
