@@ -65,9 +65,11 @@ def main() -> None:
         )
         st = res["stats"]
         out.update(crawled=st.crawled, scheduled=st.scheduled, epochs=st.epochs)
-        out["profiles"] = res["profiles"].count()
-        out["history_snapshots"] = res["history"].count()
-        if "health" in res:
+        # a crawl that yields no edges sets no profiles/history keys — emit 0
+        # counts instead of KeyError (ADVICE r03)
+        out["profiles"] = res["profiles"].count() if res.get("profiles") is not None else 0
+        out["history_snapshots"] = res["history"].count() if res.get("history") is not None else 0
+        if res.get("health") is not None:
             out["health_rows"] = res["health"].count()
     elif args.job_type == "serp_analysis":
         df = run_job(args.job_type, spark, read("documents"), args.keyword,

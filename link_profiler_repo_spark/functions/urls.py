@@ -65,6 +65,25 @@ def internal_external(link_host: Column, page_host: Column) -> Column:
     return F.when(link_host == page_host, F.lit("internal")).otherwise(F.lit("external"))
 
 
+def canonicalize_str(url: str, mode: str = "identity") -> str:
+    """Scalar twin of canonicalize() — the oracle sims key their seen/enqueued
+    sets on this so engine and sim share ONE identity rule (ADVICE r03 #5:
+    under mode='full' a sitemap URL differing from a seed only in canonical
+    form must dedup identically in both)."""
+    if mode == "identity":
+        return url
+    import re
+
+    s = re.sub(r"#.*$", "", url)
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*", s)
+    if not m:
+        return s
+    head, tail = s[: m.end()].lower(), s[m.end():]
+    head = re.sub(r"^(http://.+):80$", r"\1", head)
+    head = re.sub(r"^(https://.+):443$", r"\1", head)
+    return head + tail
+
+
 # pandas fallback used by driver-side oracle code paths
 def canonicalize_py(url: pd.Series, mode: str = "identity") -> pd.Series:
     if mode == "identity":

@@ -60,7 +60,8 @@ def full_seo_audit(spark: SparkSession, docs_df, seeds, cfg, **kw):
     """crawl_service.py:977-1029: sequential composition — crawl, then the
     analytics tail over its outputs."""
     out = backlink_discovery(spark, docs_df, seeds, cfg, **kw)
-    out["health"] = link_health_audit(spark, out["edges"], out["seen"])
+    if out["edges"] is not None:
+        out["health"] = link_health_audit(spark, out["edges"], out["seen"])
     return out
 
 

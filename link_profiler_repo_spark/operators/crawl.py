@@ -595,7 +595,6 @@ class CrawlEngine:
             crawled = 0
             seed_rows = [(u, i) for i, u in enumerate(seeds)]
             df = spark.createDataFrame(seed_rows, schema="url string, arrival_seq long")
-            seq_counter = len(seeds)
             # sitemap -> frontier wiring (robots_parser.py:149-171 discovery
             # path): robots `Sitemap:` URLs are depth-0 candidates admitted
             # after the user seeds, deterministically ordered by
@@ -617,7 +616,6 @@ class CrawlEngine:
                             (F.col("sm_seq") + F.lit(len(seeds))).alias("arrival_seq"),
                         )
                     )
-                    seq_counter += n_sm
             df = (
                 self._with_keys(df)
                 .withColumn("depth", F.lit(0))
@@ -634,6 +632,16 @@ class CrawlEngine:
                 .filter(F.col("_rn0") == 1)
                 .drop("_rn0")
             )
+            # re-sequence densely over the ADMITTED set, so absolute
+            # arrival_seq matches the sim (which only advances seq for
+            # admitted URLs) and seq_counter == admitted count — a filtered
+            # seed no longer leaves a gap that a later admission could never
+            # share but an absolute-seq consumer would see (ADVICE r03 #5)
+            df, n_admitted = with_global_index(
+                df, ["arrival_seq"], out_col="_seq_dense", small=True
+            )
+            df = df.drop("arrival_seq").withColumnRenamed("_seq_dense", "arrival_seq")
+            seq_counter = n_admitted
             frontier = df.select(
                 "url", "url_hash", "xx64", "host", "depth", "priority", "retries", "arrival_seq"
             )

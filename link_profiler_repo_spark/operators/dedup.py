@@ -29,6 +29,8 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
+from .order import track_persist
+
 # deterministic 64-bit mix (same constants as functions/bloom.py)
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -122,9 +124,22 @@ def minhash_sig_udf(text: pd.Series) -> pd.Series:
                 sh[win_off[d]] = th[o]
             else:
                 sh[win_off[d]] = th[o] * prime + th[o + 1]
-        # (total_windows, n_perm) permuted matrix; per-doc min in one reduceat
-        M = sh[:, None] * a[None, :] + b[None, :]
-        sig = np.minimum.reduceat(M, win_off[:-1], axis=0) if n_docs else M
+        # permute + per-doc-min over BOUNDED doc groups: the full
+        # (total_windows, n_perm) uint64 matrix is ~1KB per shingle, which at
+        # 10k-row Arrow batches of realistic docs is multi-GB (ADVICE r03 #1).
+        # Grouping caps the temporary at ~256MB while keeping reduceat (the
+        # outer loop runs total_windows/MAX_WIN times, not per doc/shingle).
+        MAX_WIN = 1 << 18  # 256k windows x 128 perms x 8B = 256 MB peak
+        sig = np.empty((n_docs, n_perm), dtype=np.uint64)
+        d0 = 0
+        while d0 < n_docs:
+            d1 = int(np.searchsorted(win_off, win_off[d0] + MAX_WIN, side="right")) - 1
+            d1 = max(d1, d0 + 1)  # always take >=1 doc (oversized doc = old per-doc peak)
+            d1 = min(d1, n_docs)
+            w0, w1 = int(win_off[d0]), int(win_off[d1])
+            M = sh[w0:w1, None] * a[None, :] + b[None, :]
+            sig[d0:d1] = np.minimum.reduceat(M, win_off[d0:d1] - w0, axis=0)
+            d0 = d1
     sig = (sig >> np.uint64(1)).astype(np.int64)  # fit in long
     return pd.Series(list(sig.tolist()), index=text.index, dtype=object)
 
@@ -143,7 +158,9 @@ def minhash_lsh_dup(
     sig = df.select(
         F.col(id_col).alias("_id"), minhash_sig_udf(F.col(text_col)).alias("sig")
     )
-    sig.persist()
+    # tracked so long-lived sessions can release it at the next
+    # unpersist_all() barrier (VERDICT r03: untracked persist leaked cache)
+    track_persist(sig.persist())
     bands_df = sig.select(
         "_id",
         F.posexplode(
@@ -380,21 +397,35 @@ def _cdc_chunk_hashes(
         wh = (S[ends] - np.where(ends >= w, S[ends - w], np.uint64(0))) * pinv[ends - w + 1]
         mask = np.uint64((1 << mask_bits) - 1)
         cut_after = ends[(wh & mask) == 0] + 1  # boundary AFTER this byte
-        out = []
+        # build the boundary list first, then hash each final span — so a
+        # sub-min_len remainder (after max_len clamping, or at end-of-doc)
+        # MERGES into the preceding chunk instead of being emitted as a tiny
+        # low-entropy chunk whose hash is ~the byte value (ADVICE r03 #4;
+        # standard CDC remainder handling — chunks may reach max_len+min_len-1)
+        cuts: list[int] = []
+
+        def add_cut(c: int) -> None:
+            prev = cuts[-1] if cuts else 0
+            if c - prev < min_len and cuts:
+                cuts[-1] = c  # extend the previous chunk over the remainder
+            else:
+                cuts.append(c)
+
         start = 0
         for c in cut_after.tolist():
             if c - start < min_len:
                 continue
             while c - start > max_len:  # clamp oversized chunks
-                out.append(span_hash(start, start + max_len))
+                add_cut(start + max_len)
                 start += max_len
-            out.append(span_hash(start, c))
+            add_cut(c)
             start = c
         while n - start > max_len:
-            out.append(span_hash(start, start + max_len))
+            add_cut(start + max_len)
             start += max_len
-        if n - start > 0:
-            out.append(span_hash(start, n))
+        if n > start:
+            add_cut(n)
+        out = [span_hash(s, e) for s, e in zip([0] + cuts[:-1], cuts)]
     return (np.array(out, dtype=np.uint64) >> np.uint64(1)).astype(np.int64)
 
 

@@ -212,11 +212,18 @@ def simulate_scheduler(
     p: SynthParams,
     robots_rows: list[dict] | None = None,
     max_epochs: int = 10_000,
+    canonical_mode: str = "identity",
 ) -> SchedResult:
+    from .functions.urls import canonicalize_str
+
     robots = {r["host"]: r for r in (robots_rows or [])}
     doc_urls = set(docs)
     buckets: dict[str, list[SchedTask]] = {}
     seen: set[str] = set()
+    # admission-dedup sets are keyed on the CANONICAL form — the same
+    # identity rule as the engine's url_hash (sha256 of canonicalize(url))
+    # so a raw-spelling variant dedups identically in both (ADVICE r03 #5)
+    seen_keys: set[str] = set()
     enqueued: set[str] = set()  # scheduler mode dedups at admission
     seq = 0
     dead: list[tuple[str, int]] = []
@@ -235,9 +242,10 @@ def simulate_scheduler(
         if cfg.respect_robots_txt and _robots_disallowed(url, robots):
             return
         if retries == 0:
-            if url in enqueued or url in seen:
+            key = canonicalize_str(url, canonical_mode)
+            if key in enqueued or key in seen_keys:
                 return
-            enqueued.add(url)
+            enqueued.add(key)
         buckets.setdefault(h, []).append(
             SchedTask(url=url, depth=depth, priority=priority, retries=retries, seq=seq)
         )
@@ -287,6 +295,7 @@ def simulate_scheduler(
             if t.depth >= cfg.max_depth:
                 continue
             seen.add(t.url)
+            seen_keys.add(canonicalize_str(t.url, canonical_mode))
             crawled += 1
             order.append((crawled - 1, t.url, t.depth))
             wave.append((t.url, t.depth))

@@ -1258,9 +1258,25 @@ def q_streaming_metrics(spark, sf_dir):
     return out
 
 
+# tumbling 1-hour event-time windows ARE SQL-expressible (VERDICT r03 next
+# #4): Spark's window('1 hour') aligns to epoch-hour boundaries, exactly
+# date_trunc('hour'). This puts the streaming path under the full
+# rows+schema+hash gate; watermark/late-data semantics stay pytest-verified
+# (streaming-equals-batch in tests/test_textops_media_streaming.py).
+SQL_STREAMING_METRICS = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(value), 6) AS mean_value
+FROM events
+GROUP BY 1, 2
+"""
+SPARK_QUERIES["streaming_metrics"] = q_streaming_metrics
+SQL_ORACLES["streaming_metrics"] = SQL_STREAMING_METRICS
+
+
 ROWS_ONLY_QUERIES = {
     "crawl_bfs_order": q_crawl_bfs_order,
-    "streaming_metrics": q_streaming_metrics,
     "crawl_scheduler_order": q_crawl_scheduler_order,
     "crawl_link_profile": q_crawl_link_profile,
     "minhash_near_dup": q_minhash_pairs,
