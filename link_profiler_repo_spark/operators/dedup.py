@@ -144,30 +144,51 @@ def minhash_sig_udf(text: pd.Series) -> pd.Series:
     return pd.Series(list(sig.tolist()), index=text.index, dtype=object)
 
 
-def minhash_lsh_dup(
-    df: DataFrame,
-    text_col: str = "text",
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The UDF half of the MinHash pipeline: (doc_id, sig) with a 128-long
+    signature per document. Split out so the relational tail
+    (minhash_pairs_from_sigs) can run over a STORED signature table — the
+    shape a 100 TB deployment uses anyway (signatures are computed once and
+    re-banded for different thresholds), and what lets DuckDB re-derive the
+    band/bucket/pair join as an independent oracle (VERDICT r03 next #5)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), minhash_sig_udf(F.col(text_col)).alias("sig")
+    )
+
+
+def minhash_pairs_from_sigs(
+    sig: DataFrame,
     id_col: str = "doc_id",
+    sig_col: str = "sig",
     bands: int = 32,
     rows_per_band: int = 4,
     threshold: float = 0.7,
+    exact_buckets: bool = False,
 ) -> DataFrame:
-    """Near-duplicate PAIRS via MinHash+LSH. Shuffles on (band, band-hash)
-    buckets only; candidate pairs are confirmed by estimated Jaccard
-    (signature agreement rate) >= threshold. Returns (a, b, est_jaccard)."""
-    sig = df.select(
-        F.col(id_col).alias("_id"), minhash_sig_udf(F.col(text_col)).alias("sig")
-    )
-    # tracked so long-lived sessions can release it at the next
-    # unpersist_all() barrier (VERDICT r03: untracked persist leaked cache)
-    track_persist(sig.persist())
+    """Relational tail of MinHash+LSH over a signature table: band the
+    signature, self-join on (band, bucket), confirm candidates by signature
+    agreement rate >= threshold. Returns (a, b, est_jaccard, n_agree).
+
+    bucket key: F.hash of the band slice by default (fixed-width shuffle
+    key — the at-scale layout); exact_buckets=True uses the slice rendered
+    as a string instead, which is engine-portable (DuckDB can re-derive it
+    verbatim) and collision-free. The two modes produce identical pairs
+    modulo 32-bit hash collisions among same-band buckets (tested equal on
+    the gate corpus)."""
+    sig = sig.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("sig"))
+
+    def band_key(i):
+        slc = F.slice("sig", i * rows_per_band + 1, rows_per_band)
+        if exact_buckets:
+            return F.concat_ws(",", F.transform(slc, lambda x: x.cast("string")))
+        return F.hash(slc).cast("string")
+
     bands_df = sig.select(
         "_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band)),
-            )
+            F.array(*[band_key(i) for i in range(bands)])
         ).alias("band", "bucket"),
     )
     left = bands_df.alias("l")
@@ -184,18 +205,42 @@ def minhash_lsh_dup(
     )
     sa = sig.select(F.col("_id").alias("a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("_id").alias("b"), F.col("sig").alias("sig_b"))
-    # estimated Jaccard = signature agreement rate (mean of per-perm equality)
-    agree = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, F.lit(1.0)).otherwise(F.lit(0.0))),
-        F.lit(0.0),
+    # n_agree = # of equal positions (exact integer — the cross-engine-stable
+    # form); est_jaccard = n_agree / n_perm (exact in binary for n_perm=128)
+    n_agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0))),
+        F.lit(0),
         lambda acc, v: acc + v,
-    ) / F.size("sig_a")
+    ).cast("bigint")
     est = (
         cand.join(sa, "a").join(sb, "b")
-        .withColumn("est_jaccard", agree)
+        .withColumn("n_agree", n_agree)
+        .withColumn("est_jaccard", F.col("n_agree") / F.size("sig_a"))
         .drop("sig_a", "sig_b")
     )
-    return est.filter(F.col("est_jaccard") >= threshold).select("a", "b", "est_jaccard")
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "a", "b", "est_jaccard", "n_agree"
+    )
+
+
+def minhash_lsh_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 32,
+    rows_per_band: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate PAIRS via MinHash+LSH. Shuffles on (band, band-hash)
+    buckets only; candidate pairs are confirmed by estimated Jaccard
+    (signature agreement rate) >= threshold. Returns (a, b, est_jaccard)."""
+    sig = minhash_signatures(df, text_col=text_col, id_col=id_col)
+    # tracked so long-lived sessions can release it at the next
+    # unpersist_all() barrier (VERDICT r03: untracked persist leaked cache)
+    track_persist(sig.persist())
+    return minhash_pairs_from_sigs(
+        sig, bands=bands, rows_per_band=rows_per_band, threshold=threshold
+    ).select("a", "b", "est_jaccard")
 
 
 @F.pandas_udf(T.LongType())
@@ -438,23 +483,28 @@ def cdc_chunk_hashes_udf(text: pd.Series) -> pd.Series:
     )
 
 
-def partial_dup_pairs(
-    df: DataFrame,
-    text_col: str = "text",
+def cdc_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The UDF half of the CDC pipeline: (doc_id, chunks) with the array of
+    content-defined chunk hashes per document — the storable fingerprint
+    table; partial_dup_pairs_from_chunks is its pure-relational consumer
+    (split for the same reasons as minhash_signatures)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), cdc_chunk_hashes_udf(F.col(text_col)).alias("chunks")
+    )
+
+
+def partial_dup_pairs_from_chunks(
+    chunks_df: DataFrame,
     id_col: str = "doc_id",
+    chunks_col: str = "chunks",
     min_shared: int = 3,
     max_posting: int = 1000,
 ) -> DataFrame:
-    """Partial-duplicate pairs by shared content-defined chunks: docs that
-    share >= min_shared chunk hashes (a superset/containment detector that
-    MinHash-over-whole-doc misses when one doc embeds another). Shuffles on
-    the chunk hash only; postings longer than max_posting (boilerplate
-    chunks shared by everyone) are dropped like stop-words — without the cap
-    a single viral chunk would create a quadratic pair explosion.
-    Returns (a, b, shared_chunks)."""
-    chunks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(cdc_chunk_hashes_udf(F.col(text_col))).alias("chunk"),
+    """Relational tail of CDC partial-dup over a stored chunk-hash table:
+    explode, drop postings outside [2, max_posting], self-join on chunk,
+    count shared chunks per pair. Returns (a, b, shared_chunks)."""
+    chunks = chunks_df.select(
+        F.col(id_col).alias("_id"), F.explode(F.col(chunks_col)).alias("chunk")
     ).distinct()
     posting_ok = (
         chunks.groupBy("chunk")
@@ -469,4 +519,24 @@ def partial_dup_pairs(
         .groupBy(F.col("a._id").alias("a"), F.col("b._id").alias("b"))
         .agg(F.count("*").alias("shared_chunks"))
         .filter(F.col("shared_chunks") >= min_shared)
+    )
+
+
+def partial_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 3,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Partial-duplicate pairs by shared content-defined chunks: docs that
+    share >= min_shared chunk hashes (a superset/containment detector that
+    MinHash-over-whole-doc misses when one doc embeds another). Shuffles on
+    the chunk hash only; postings longer than max_posting (boilerplate
+    chunks shared by everyone) are dropped like stop-words — without the cap
+    a single viral chunk would create a quadratic pair explosion.
+    Returns (a, b, shared_chunks)."""
+    return partial_dup_pairs_from_chunks(
+        cdc_chunks(df, text_col=text_col, id_col=id_col),
+        min_shared=min_shared, max_posting=max_posting,
     )

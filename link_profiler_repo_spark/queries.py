@@ -1164,25 +1164,83 @@ def q_crawl_link_profile(spark, sf_dir):
     ).orderBy("target_url")
 
 
-def q_minhash_pairs(spark, sf_dir):
-    from .operators.dedup import minhash_lsh_dup
+_GATE_SIGS_PATH = f"/tmp/spark_graft_gate_minhash_sigs_{os.getpid()}"
+_GATE_CHUNKS_PATH = f"/tmp/spark_graft_gate_cdc_chunks_{os.getpid()}"
 
-    # capped input: MinHash signatures over full sf0.1 docs would dominate
-    # gate runtime; 2000 docs exercise the identical plan (sig -> band
-    # buckets -> pair join). The cap is a declared gate-budget choice, not a
-    # scale limit — bench.py and the dedup tests run the operator uncapped.
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs with the relational tail SQL-oracled
+    (VERDICT r03 next #5): the UDF half (minhash_signatures) writes the
+    signature table to parquet, and BOTH engines re-derive the band ->
+    bucket -> candidate-pair join -> agreement count from the same bytes.
+    exact_buckets renders each band's bucket key as the slice itself (string)
+    so DuckDB can reproduce it verbatim; hash-bucket mode produces identical
+    pairs (tested in test_dedup_similarity) and remains the at-scale default.
+    Only the minhash function itself stays pytest-verified.
+
+    capped input: MinHash signatures over full sf0.1 docs would dominate
+    gate runtime; 2000 docs exercise the identical plan. The cap is a
+    declared gate-budget choice, not a scale limit — bench.py and the dedup
+    tests run the operator uncapped."""
+    from .operators.dedup import minhash_pairs_from_sigs, minhash_signatures
+
     d = load(spark, sf_dir, "documents").limit(2000)
-    return minhash_lsh_dup(d, threshold=0.5)
+    minhash_signatures(d).coalesce(1).write.mode("overwrite").parquet(_GATE_SIGS_PATH)
+    sigs = spark.read.parquet(_GATE_SIGS_PATH)
+    pairs = minhash_pairs_from_sigs(sigs, threshold=0.5, exact_buckets=True)
+    # n_agree (integer agreement count) is the cross-engine-stable rendering
+    # of est_jaccard = n_agree/128 (exact in both, but integers hash safer)
+    return pairs.select("a", "b", "n_agree")
+
+
+SQL_MINHASH_PAIRS = f"""
+WITH s AS (SELECT doc_id, sig FROM read_parquet('{_GATE_SIGS_PATH}/*.parquet')),
+bands AS (
+  SELECT doc_id, i AS band,
+         array_to_string(sig[i * 4 + 1 : i * 4 + 4], ',') AS bucket
+  FROM s, UNNEST(range(0, 32)) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)
+SELECT c.a, c.b,
+       CAST(len(list_filter(range(1, 129), i -> sa.sig[i] = sb.sig[i])) AS BIGINT)
+         AS n_agree
+FROM cand c JOIN s sa ON sa.doc_id = c.a JOIN s sb ON sb.doc_id = c.b
+WHERE len(list_filter(range(1, 129), i -> sa.sig[i] = sb.sig[i])) >= 64
+"""
 
 
 def q_partial_dup(spark, sf_dir):
-    """Rolling-hash CDC partial-duplicate pairs (containment detector) over
-    the documents corpus; exact oracle is the pytest golden (the rolling
-    hash is not SQL-expressible)."""
-    from .operators.dedup import partial_dup_pairs
+    """Rolling-hash CDC partial-duplicate pairs (containment detector), the
+    relational tail SQL-oracled over the exported chunk-hash table (VERDICT
+    r03 next #5): posting-list filter + shared-chunk pair counting re-derived
+    independently by DuckDB; only the rolling hash itself stays
+    pytest-verified (goldens in test_dedup_similarity)."""
+    from .operators.dedup import cdc_chunks, partial_dup_pairs_from_chunks
 
     d = load(spark, sf_dir, "documents").limit(2000)
-    return partial_dup_pairs(d, min_shared=2)
+    cdc_chunks(d).coalesce(1).write.mode("overwrite").parquet(_GATE_CHUNKS_PATH)
+    ch = spark.read.parquet(_GATE_CHUNKS_PATH)
+    return partial_dup_pairs_from_chunks(ch, min_shared=2)
+
+
+SQL_PARTIAL_DUP = f"""
+WITH c AS (
+  SELECT DISTINCT doc_id AS id, chunk
+  FROM (SELECT doc_id, UNNEST(chunks) AS chunk
+        FROM read_parquet('{_GATE_CHUNKS_PATH}/*.parquet'))
+),
+ok AS (
+  SELECT chunk FROM c GROUP BY chunk HAVING COUNT(*) BETWEEN 2 AND 1000
+),
+c2 AS (SELECT * FROM c WHERE chunk IN (SELECT chunk FROM ok))
+SELECT a.id AS a, b.id AS b, CAST(COUNT(*) AS BIGINT) AS shared_chunks
+FROM c2 a JOIN c2 b ON a.chunk = b.chunk AND a.id < b.id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -1275,14 +1333,21 @@ SPARK_QUERIES["streaming_metrics"] = q_streaming_metrics
 SQL_ORACLES["streaming_metrics"] = SQL_STREAMING_METRICS
 
 
+SPARK_QUERIES["minhash_near_dup"] = q_minhash_pairs
+SQL_ORACLES["minhash_near_dup"] = SQL_MINHASH_PAIRS
+SPARK_QUERIES["partial_dup_chunks"] = q_partial_dup
+SQL_ORACLES["partial_dup_chunks"] = SQL_PARTIAL_DUP
+
 ROWS_ONLY_QUERIES = {
     "crawl_bfs_order": q_crawl_bfs_order,
     "crawl_scheduler_order": q_crawl_scheduler_order,
     "crawl_link_profile": q_crawl_link_profile,
-    "minhash_near_dup": q_minhash_pairs,
     "ivf_ann_topk": q_ivf_topk,
     "media_features": q_media_features,
-    "partial_dup_chunks": q_partial_dup,
     # (r2's rows-only "seo_metrics" dropped: fully redundant with the
-    # SQL-oracled seo_metrics_sql row, which re-derives every regex in DuckDB)
+    # SQL-oracled seo_metrics_sql row, which re-derives every regex in DuckDB;
+    # r4 moves minhash_near_dup + partial_dup_chunks to the SQL-oracled set —
+    # their relational tails now verify against DuckDB over the exported
+    # signature/chunk tables, leaving only the crawl-ordering, IVF-recall and
+    # media-plumbing rows pytest-oracled)
 }

@@ -189,3 +189,53 @@ def test_cdc_partial_dup_pairs(spark):
     assert (1, 4) in pairs and pairs[(1, 4)] >= 5    # containment
     assert (1, 3) not in pairs                       # unrelated
     assert (2, 4) in pairs                           # shared passage transitively
+
+
+def test_minhash_bucket_modes_agree(spark):
+    """hash-bucket (at-scale) and exact-bucket (oracle) banding yield the
+    SAME pair set — locks the production F.hash bucket path against the
+    DuckDB-oracled exact path (queries.py minhash_near_dup)."""
+    from link_profiler_repo_spark.operators.dedup import (
+        minhash_pairs_from_sigs,
+        minhash_signatures,
+    )
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(BASE_TEXT + " variant "),
+            (F.col("id") % 17).cast("string"),
+            F.lit(" tail tokens "),
+            (F.col("id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    sigs = minhash_signatures(docs).persist()
+    get = lambda exact: {  # noqa: E731
+        (r["a"], r["b"]): r["n_agree"]
+        for r in minhash_pairs_from_sigs(
+            sigs, threshold=0.5, exact_buckets=exact
+        ).collect()
+    }
+    hashed, exact = get(False), get(True)
+    assert hashed == exact and len(exact) > 0
+    sigs.unpersist()
+
+
+def test_cdc_chunk_table_split_matches_composed(spark):
+    """cdc_chunks + partial_dup_pairs_from_chunks == partial_dup_pairs."""
+    from link_profiler_repo_spark.operators.dedup import (
+        cdc_chunks,
+        partial_dup_pairs,
+        partial_dup_pairs_from_chunks,
+    )
+
+    docs = _docs(spark)
+    composed = {
+        (r["a"], r["b"]): r["shared_chunks"]
+        for r in partial_dup_pairs(docs, min_shared=1).collect()
+    }
+    split = {
+        (r["a"], r["b"]): r["shared_chunks"]
+        for r in partial_dup_pairs_from_chunks(cdc_chunks(docs), min_shared=1).collect()
+    }
+    assert composed == split
