@@ -199,6 +199,44 @@ def train_centroids(
     return cent.astype(np.float32)
 
 
+def top_cells_udf(centroids: np.ndarray, n: int):
+    """Arrow-batched UDF: each vector's n nearest centroid cells (by cosine)
+    as array<int> — one vectorized numpy matmul per batch. Shared by ivf_topk
+    (corpus assignment + query probing) and ivf_blocked_cosine_pairs (the
+    cell-blocked exact-dedup tier)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def top_cells(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float32)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ centroids.T
+        if n == 1:
+            order = np.argmax(sims, axis=1).astype(np.int32)[:, None]
+        else:
+            order = np.argpartition(-sims, n - 1, axis=1)[:, :n].astype(np.int32)
+        return pd.Series(list(order), index=vecs.index, dtype=object)
+
+    return top_cells
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    replicas: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell, vec) with each vector replicated into its `replicas`
+    nearest cells — the IVF storage layout: downstream per-cell joins are
+    quadratic only within cells, and multi-assignment is the recall lever
+    for pairs straddling a cell boundary."""
+    n = min(max(replicas, 1), centroids.shape[0])
+    return vectors.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(top_cells_udf(centroids, n)(F.col(vec_col))).alias("cell"),
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -235,27 +273,13 @@ def ivf_topk(
     nprobe = min(nprobe, nlist)
     n_assign = min(max(assign_replicas, 1), nlist)
 
-    def _top_cells(n: int):
-        @F.pandas_udf(T.ArrayType(T.IntegerType()))
-        def top_cells(vecs: pd.Series) -> pd.Series:
-            m = np.stack(vecs.to_numpy()).astype(np.float32)
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            sims = m @ centroids.T
-            if n == 1:
-                order = np.argmax(sims, axis=1).astype(np.int32)[:, None]
-            else:
-                order = np.argpartition(-sims, n - 1, axis=1)[:, :n].astype(np.int32)
-            return pd.Series(list(order), index=vecs.index, dtype=object)
-
-        return top_cells
-
     assigned = vectors.withColumn(
-        "cell", F.explode(_top_cells(n_assign)(F.col(vec_col)))
+        "cell", F.explode(top_cells_udf(centroids, n_assign)(F.col(vec_col)))
     )
     q = queries.select(
         F.col(q_id_col).alias("q_id"),
         F.col(q_vec_col).alias("q_vec"),
-        F.explode(_top_cells(nprobe)(F.col(q_vec_col))).alias("cell"),
+        F.explode(top_cells_udf(centroids, nprobe)(F.col(q_vec_col))).alias("cell"),
     )
     scored = assigned.join(F.broadcast(q), "cell").select(
         "q_id",

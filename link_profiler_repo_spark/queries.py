@@ -1338,6 +1338,52 @@ SQL_ORACLES["minhash_near_dup"] = SQL_MINHASH_PAIRS
 SPARK_QUERIES["partial_dup_chunks"] = q_partial_dup
 SQL_ORACLES["partial_dup_chunks"] = SQL_PARTIAL_DUP
 
+
+_GATE_CELLS_PATH = f"/tmp/spark_graft_gate_ivf_cells_{os.getpid()}"
+
+
+def q_ivf_blocked_pairs(spark, sf_dir):
+    """IVF cells as the blocking key for exact cosine dedup, end-to-end
+    (VERDICT r03 next #6): trained k-means cell assignments are exported to
+    parquet (the IVF storage layout), then BOTH engines run the identical
+    per-cell pair join + exact cosine over the same bytes. The k-means
+    training + assignment UDF stays pytest-verified (recall vs brute force);
+    this row puts the composed operator's relational tail under the hard
+    gate."""
+    from .operators.dedup import blocked_cosine_pairs
+    from .operators.similarity import assign_cells, train_centroids
+
+    e = load(spark, sf_dir, "embeddings")
+    n_rows = e.count()
+    cents = train_centroids(e, max(4, int(n_rows ** 0.5)), n_rows=n_rows)
+    cells = assign_cells(e, cents, replicas=2).select(
+        "vec_id", "cell",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    cells.coalesce(1).write.mode("overwrite").parquet(_GATE_CELLS_PATH)
+    stored = spark.read.parquet(_GATE_CELLS_PATH)
+    pairs = blocked_cosine_pairs(
+        stored, vec_col="e", id_col="vec_id", block_col="cell", threshold=0.3
+    ).groupBy("a", "b").agg(F.max("cosine").alias("cosine"))
+    return pairs.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_IVF_BLOCKED_PAIRS = f"""
+WITH v AS (
+  SELECT vec_id, cell, e FROM read_parquet('{_GATE_CELLS_PATH}/*.parquet')
+)
+SELECT a, b, ROUND(MAX(cos), 6) AS cosine FROM (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+           AS cos
+  FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+) WHERE cos >= 0.3 GROUP BY 1, 2
+"""
+
+SPARK_QUERIES["ivf_blocked_pairs"] = q_ivf_blocked_pairs
+SQL_ORACLES["ivf_blocked_pairs"] = SQL_IVF_BLOCKED_PAIRS
+
 ROWS_ONLY_QUERIES = {
     "crawl_bfs_order": q_crawl_bfs_order,
     "crawl_scheduler_order": q_crawl_scheduler_order,

@@ -239,3 +239,64 @@ def test_cdc_chunk_table_split_matches_composed(spark):
         for r in partial_dup_pairs_from_chunks(cdc_chunks(docs), min_shared=1).collect()
     }
     assert composed == split
+
+
+def test_ivf_blocked_cosine_pairs_recall_and_exactness(spark):
+    """ivf_blocked_cosine_pairs (cell-blocked exact dedup tier, end-to-end):
+    on a clustered corpus, (1) every emitted pair's cosine is EXACTLY the
+    brute-force value (the per-cell join changes candidates, never values),
+    (2) no pair below threshold leaks, and (3) recall >= 0.9 of the true
+    >=threshold pairs (missed only when a pair shares no replica cell)."""
+    import numpy as np
+
+    from link_profiler_repo_spark.operators.dedup import (
+        blocked_cosine_pairs,
+        ivf_blocked_cosine_pairs,
+    )
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((8, 64)).astype("float32") * 4
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        rows.append((i, (c + rng.standard_normal(64).astype("float32") * 0.25).tolist()))
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+
+    # all-pairs truth via blocked_cosine_pairs with a single global block
+    truth = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in blocked_cosine_pairs(
+            df.withColumn("one", F.lit(1)), block_col="one", threshold=0.9
+        ).collect()
+    }
+    got = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in ivf_blocked_cosine_pairs(df, threshold=0.9, nlist=16).collect()
+    }
+    assert got, "clustered corpus must produce >=0.9 pairs"
+    for pair, cos in got.items():
+        assert pair in truth and truth[pair] == cos  # exact values, no leaks
+    recall = len(got) / len(truth)
+    assert recall >= 0.9, f"cell-blocked recall {recall:.3f}"
+
+
+def test_ivf_blocked_pairs_plan_is_per_cell_join(spark):
+    """Plan lock: the exact pair join's condition is on the cell key (plus
+    the a<b dedup) — i.e. the self-join IS per-cell, never all-pairs."""
+    import numpy as np
+
+    from link_profiler_repo_spark.operators.dedup import ivf_blocked_cosine_pairs
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(64).astype("float32").tolist()) for i in range(64)]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    cents = np.eye(8, 64, dtype="float32")
+    plan = ivf_blocked_cosine_pairs(
+        df, threshold=0.5, centroids=cents
+    )._jdf.queryExecution().executedPlan().toString()
+    # blocked_cosine_pairs aliases the block (cell) key to _blk; the pair
+    # join must be an equi-join ON that key, never a cartesian/nested-loop
+    joins = [ln for ln in plan.splitlines() if "Join" in ln and "_blk" in ln]
+    assert joins, f"no cell-keyed equi-join in plan:\n{plan[:2000]}"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
