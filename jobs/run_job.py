@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""spark-submit dispatcher for every registered job type — the deployment
+"""spark-submit dispatcher for EVERY registered job type — the deployment
 rendering of the reference's execute_predefined_job string dispatch
 (services/crawl_service.py:268-389): one entry point, --type selects the
 runner, results print as one JSON line (row samples capped).
@@ -10,8 +10,16 @@ runner, results print as one JSON line (row samples capped).
         --sf-dir /root/testdata/sf0.01
 
 Crawl-backed jobs (backlink_discovery, full_seo_audit) synthesize their
-corpus like jobs/crawl_job.py; analytics jobs run over the harness parquet
-tables at --sf-dir. On a cluster: same command with --master yarn/k8s.
+corpus like jobs/crawl_job.py. Analytics jobs over stored crawl outputs
+(link_health_audit, domain_analysis, link_velocity, link_intersect,
+prospect_identification) read --edges/--seen/--profiles/--domains parquet
+tables — the reference runners' stored-table inputs
+(crawl_service.py:788-808,906-975) — and, when none are given, fall back to
+a small in-session crawl so every type is smoke-runnable with zero extra
+args. Keyword jobs (serp_analysis, keyword_research, content_gap_analysis)
+run over the documents table at --sf-dir; technical_audit runs over --pages
+parquet or the synthetic page fixture. On a cluster: same command with
+--master yarn/k8s.
 """
 
 from __future__ import annotations
@@ -35,24 +43,64 @@ def main() -> None:
     ap.add_argument("--max-depth", type=int, default=3)
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--job-id", default="job-0")
+    # stored-table inputs for the analytics jobs (parquet paths)
+    ap.add_argument("--edges", default=None, help="crawl edge table parquet")
+    ap.add_argument("--seen", default=None, help="crawl seen table parquet")
+    ap.add_argument("--profiles", default=None, help="link-profile rollup parquet")
+    ap.add_argument("--domains", default=None, help="domain-info table parquet")
+    ap.add_argument("--pages", default=None, help="(url, content) page table parquet")
+    ap.add_argument("--target", default="h000.test", help="target host/domain")
+    ap.add_argument("--competitors", default="h001.test,h002.test",
+                    help="comma-separated competitor hosts/domains")
+    ap.add_argument("--urls", default=None, help="comma-separated audit URL list")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     from link_profiler_repo_spark.config import CrawlConfig
     from link_profiler_repo_spark.jobs import JOB_TYPES, run_job
-    from link_profiler_repo_spark.synth import SynthParams, default_seeds, synth_docs_spark
+    from link_profiler_repo_spark.synth import (
+        SynthParams,
+        default_seeds,
+        domain_info_from_hosts,
+        synth_docs_spark,
+        synth_pages_spark,
+    )
 
     if args.job_type not in JOB_TYPES:
         print(json.dumps({"error": f"unknown --type; known: {sorted(JOB_TYPES)}"}))
         return 2
 
     spark = SparkSession.builder.appName(f"job-{args.job_type}").getOrCreate()
+    import pyspark.sql.functions as F
 
     def read(name):
         return spark.read.parquet(f"{args.sf_dir}/{name}.parquet")
 
+    def sample(df, n=None):
+        return [r.asDict() for r in df.limit(n or args.num_results).collect()]
+
+    def crawl_outputs():
+        """edges/seen: stored tables when given, else a small in-session
+        crawl (the reference's runners read Postgres-persisted crawl
+        results; parquet paths are that store's rendering)."""
+        if args.edges:
+            seen = spark.read.parquet(args.seen) if args.seen else None
+            return spark.read.parquet(args.edges), seen
+        p = SynthParams(n_docs=args.n_docs, n_hosts=args.n_hosts)
+        cfg = CrawlConfig(job_id=args.job_id, max_depth=args.max_depth,
+                          max_pages=args.max_pages)
+        docs = synth_docs_spark(spark, p).persist()
+        res = run_job(
+            "backlink_discovery", spark, docs,
+            [u for _, u, _ in default_seeds(p, 4)], cfg,
+            workdir=args.workdir or tempfile.mkdtemp(prefix="runjob_"), p=p,
+        )
+        return res["edges"], res["seen"]
+
+    comps = [c for c in args.competitors.split(",") if c]
     out: dict = {"job_type": args.job_type, "job_id": args.job_id}
+
     if args.job_type in ("backlink_discovery", "full_seo_audit"):
         p = SynthParams(n_docs=args.n_docs, n_hosts=args.n_hosts)
         cfg = CrawlConfig(
@@ -74,16 +122,77 @@ def main() -> None:
     elif args.job_type == "serp_analysis":
         df = run_job(args.job_type, spark, read("documents"), args.keyword,
                      num_results=args.num_results)
-        out["rows"] = [r.asDict() for r in df.collect()][: args.num_results]
+        out["rows"] = sample(df)
     elif args.job_type == "keyword_research":
         df = run_job(args.job_type, spark, read("documents"), args.seed_keyword,
                      num_suggestions=args.num_results)
-        out["rows"] = [r.asDict() for r in df.collect()][: args.num_results]
-    else:
-        print(json.dumps({
-            "error": f"--type {args.job_type} needs crawl outputs; run it through "
-            "backlink_discovery/full_seo_audit or the library API"
-        }))
+        out["rows"] = sample(df)
+    elif args.job_type == "content_gap_analysis":
+        from link_profiler_repo_spark.operators.keywords import doc_keywords
+
+        kws = doc_keywords(read("documents"))
+        tgt = args.target if args.target.startswith("d") else "d0"
+        cps = comps if all(c.startswith("d") for c in comps) else ["d1", "d2", "d3"]
+        df = run_job(args.job_type, spark, kws, tgt, cps)
+        out["missing_keywords"] = df.count()
+        out["rows"] = sample(df.orderBy(F.desc("n_competitors"), "keyword"))
+    elif args.job_type == "link_health_audit":
+        edges, seen = crawl_outputs()
+        if seen is None:
+            print(json.dumps({"error": "--seen required with --edges for link_health_audit"}))
+            return 2
+        df = run_job(args.job_type, spark, edges, seen)
+        out["broken_or_dangling"] = df.count()
+        out["rows"] = sample(df)
+    elif args.job_type == "link_velocity":
+        edges, _ = crawl_outputs()
+        df = run_job(args.job_type, spark, edges)
+        out["buckets"] = df.count()
+        out["rows"] = sample(df)
+    elif args.job_type == "link_intersect":
+        edges, _ = crawl_outputs()
+        df = run_job(args.job_type, spark, edges, args.target, comps)
+        out["rows"] = sample(df)
+    elif args.job_type == "domain_analysis":
+        from link_profiler_repo_spark.operators.profile import full_link_profile
+
+        edges, _ = crawl_outputs()
+        profiles = (
+            spark.read.parquet(args.profiles) if args.profiles
+            else full_link_profile(edges)
+        )
+        domains = (
+            spark.read.parquet(args.domains) if args.domains
+            # deterministic domain-info stand-in keyed by the profiled
+            # targets; spam_pct is the 0-100 scale domain_value_score expects
+            else domain_info_from_hosts(
+                profiles.select(F.col("target_url").alias("name"))
+            ).drop("spam_score").withColumnRenamed("spam_pct", "spam_score")
+        )
+        df = run_job(args.job_type, spark, domains, profiles)
+        out["domains_scored"] = df.count()
+        out["rows"] = sample(df)
+    elif args.job_type == "prospect_identification":
+        edges, _ = crawl_outputs()
+        domains = (
+            spark.read.parquet(args.domains) if args.domains
+            else domain_info_from_hosts(edges.select(F.col("src_host").alias("name")))
+        )
+        df = run_job(args.job_type, spark, edges, domains, args.target, comps)
+        out["prospects"] = df.count()
+        out["rows"] = sample(df.orderBy(F.desc("score"), "prospect_domain"))
+    elif args.job_type == "technical_audit":
+        pages = (
+            spark.read.parquet(args.pages) if args.pages
+            else synth_pages_spark(spark, SynthParams(n_docs=min(args.n_docs, 200),
+                                                      n_hosts=args.n_hosts))
+        )
+        urls = [u for u in args.urls.split(",") if u] if args.urls else None
+        df = run_job(args.job_type, spark, pages, urls)
+        out["audited"] = df.count()
+        out["rows"] = sample(df.orderBy("n_issues", "url"))
+    else:  # unreachable while JOB_TYPES and the branches above stay in sync
+        print(json.dumps({"error": f"--type {args.job_type} has no runner branch"}))
         return 2
     print(json.dumps(out, default=str))
     return 0

@@ -97,6 +97,34 @@ def keyword_research_job(spark: SparkSession, docs, seed_keyword: str,
     return keyword_research(docs, seed_keyword, num_suggestions=num_suggestions, **kw)
 
 
+def content_gap_job(spark: SparkSession, keywords_df, target: str,
+                    competitors: list[str], **kw):
+    """crawl_service.py:1074-1101 _run_content_gap_analysis_job: missing
+    keyword/topic coverage vs a competitor set (AI service replaced by the
+    relational coverage-gap rendering)."""
+    from .operators.keywords import content_gap_analysis
+
+    return content_gap_analysis(keywords_df, target, competitors, **kw)
+
+
+def prospect_identification_job(spark: SparkSession, edges, domains, target: str,
+                                competitors: list[str], **kw):
+    """crawl_service.py:1107-1134 _run_prospect_identification_job over
+    stored edge + domain-info tables (link_building_service.py:52-137
+    strategy 1 + scoring :173-201)."""
+    from .operators.prospects import prospect_identification
+
+    return prospect_identification(edges, domains, target, competitors, **kw)
+
+
+def technical_audit_job(spark: SparkSession, pages, urls=None, **kw):
+    """crawl_service.py:810-904 _run_technical_audit_job: per-URL audit over
+    an explicit URL list (Lighthouse effects non-goal)."""
+    from .operators.analytics import technical_audit
+
+    return technical_audit(pages, urls, **kw)
+
+
 JOB_TYPES = {
     "backlink_discovery": backlink_discovery,
     "link_health_audit": link_health_audit,
@@ -106,6 +134,9 @@ JOB_TYPES = {
     "link_intersect": lambda spark, edges, primary, comps: link_intersect(edges, primary, comps),
     "serp_analysis": serp_analysis_job,
     "keyword_research": keyword_research_job,
+    "content_gap_analysis": content_gap_job,
+    "prospect_identification": prospect_identification_job,
+    "technical_audit": technical_audit_job,
 }
 
 

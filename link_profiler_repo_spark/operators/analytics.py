@@ -169,3 +169,58 @@ def seo_score(pages: DataFrame) -> DataFrame:
     return pages.withColumn(
         "seo_score", F.greatest(F.lit(0.0), F.least(F.lit(100.0), score))
     )
+
+
+def technical_audit_from_metrics(m: DataFrame) -> DataFrame:
+    """Relational tail of the technical audit over a (stored) parsed-metrics
+    table — split from the parser so the flags + score derivation can be
+    SQL-oracled independently (the parser itself is gate-verified by
+    seo_metrics_sql). Expects the parse_seo_metrics_udf columns plus url."""
+    has_title = F.col("title").isNotNull() & (F.length("title") > 0)
+    has_meta = F.col("meta_description").isNotNull() & (
+        F.length("meta_description") > 0
+    )
+    https = F.col("url").startswith("https://")
+    flags = {
+        "missing_title": ~has_title,
+        "missing_meta_description": ~has_meta,
+        "multiple_h1": F.col("h1_count") > 1,
+        "missing_h1": F.col("h1_count") == 0,
+        "images_without_alt": F.col("images_missing_alt") > 0,
+        "thin_content": F.col("word_count") < 50,
+        "no_canonical": ~F.col("has_canonical"),
+        "not_https": ~https,
+    }
+    n_issues = sum(
+        F.when(expr, 1).otherwise(0) for expr in flags.values()
+    ).cast("int")
+    # the sandbox-computable subset of calculate_seo_score
+    # (core/models.py:191-242): title 15, meta 10, h1 10, images-alt 10,
+    # https 10; mobile/performance/structured-data terms need a Lighthouse /
+    # render pass (declared non-goal) and are omitted, so max = 55
+    audit_score = (
+        F.when(has_title, 15).otherwise(0)
+        + F.when(has_meta, 10).otherwise(0)
+        + F.when(F.col("h1_count") >= 1, 10).otherwise(0)
+        + F.when(F.col("images_missing_alt") == 0, 10).otherwise(0)
+        + F.when(https, 10).otherwise(0)
+    ).cast("int")
+    out = m
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    return out.withColumn("n_issues", n_issues).withColumn("audit_score", audit_score)
+
+
+def technical_audit(pages: DataFrame, urls: list[str] | None = None) -> DataFrame:
+    """Technical-audit job (crawl_service.py:810-904 _run_technical_audit_job
+    shape — per-URL SEOMetrics for an explicit URL list; the Lighthouse /
+    SSL / DNS external calls are sandbox non-goals): Arrow-batched SEO
+    parsing restricted to the audit list, then issue flags + the
+    content-computable score subset. pages: (url, content)."""
+    from ..functions.seo import parse_seo_metrics_udf
+
+    sel = pages if urls is None else pages.filter(F.col("url").isin(list(urls)))
+    m = sel.select(
+        "url", parse_seo_metrics_udf(F.col("url"), F.col("content")).alias("seo")
+    ).select("url", "seo.*")
+    return technical_audit_from_metrics(m)

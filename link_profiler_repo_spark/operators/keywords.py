@@ -176,3 +176,42 @@ def keyword_research(
         F.least(F.lit(100), F.col("search_volume")).cast("bigint").alias("difficulty"),
         F.lit("corpus").alias("source"),
     )
+
+
+def content_gap_analysis(
+    df: DataFrame,
+    target: str,
+    competitors: list[str],
+    domain_col: str = "domain",
+    keyword_col: str = "keyword",
+) -> DataFrame:
+    """Content-gap analysis job (crawl_service.py:1074-1101
+    _run_content_gap_analysis_job + core/models.py:859-880
+    ContentGapAnalysisResult): the reference delegates to an AI service
+    (non-goal); the relational rendering keeps the result shape —
+    missing_keywords = keywords >=1 competitor covers that the target lacks,
+    missing_topics = their head-token rollup — computed from (domain,
+    keyword) coverage sets. Output: one row per missing keyword
+    (target_domain, keyword, topic, n_competitors), where n_competitors is
+    how many of the given competitors cover it (the outreach-priority
+    signal).
+
+    Scale shape: one distinct projection, one anti-join on keyword, one
+    keyed count — all hash-partitioned on keyword; competitors arrive as a
+    literal filter so no extra shuffle."""
+    kws = df.select(
+        F.col(domain_col).alias("domain"), F.col(keyword_col).alias("keyword")
+    ).distinct()
+    tgt = kws.filter(F.col("domain") == target).select("keyword")
+    comp = kws.filter(F.col("domain").isin(list(competitors)))
+    missing = comp.join(tgt, "keyword", "left_anti")
+    return (
+        missing.groupBy("keyword")
+        .agg(F.count_distinct("domain").alias("n_competitors"))
+        .select(
+            F.lit(target).alias("target_domain"),
+            "keyword",
+            F.split(F.col("keyword"), " ")[0].alias("topic"),
+            F.col("n_competitors").cast("bigint").alias("n_competitors"),
+        )
+    )

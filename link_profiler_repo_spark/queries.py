@@ -874,21 +874,10 @@ def q_seo_metrics_sql(spark, sf_dir):
     fixed parquet path; Spark extracts SEO metrics with the Arrow-batched
     parser (functions/seo.py, content_parser.py:21-129 semantics) and DuckDB
     re-implements every regex independently over the same bytes."""
-    from .functions.seo import page_text, parse_seo_metrics_udf
-    from .synth import SynthParams, synth_docs_spark
+    from .functions.seo import parse_seo_metrics_udf
+    from .synth import SynthParams, synth_pages_spark
 
-    docs = synth_docs_spark(spark, SynthParams(n_docs=60, n_hosts=6))
-    did = F.regexp_extract(F.col("doc_id"), r"/p/(\d+)$", 1).cast("int")
-    content = F.concat(
-        F.lit("<title>Doc "), did.cast("string"), F.lit(" overview</title>"),
-        F.when(did % 2 == 0,
-               F.concat(F.lit('<meta name="description" content="desc '),
-                        did.cast("string"), F.lit('">'))).otherwise(F.lit("")),
-        F.when(did % 3 == 0, F.lit("<h1>Main</h1><h2>Sub</h2><h2>Sub2</h2>")).otherwise(F.lit("<h1>Only</h1>")),
-        F.when(did % 4 == 0, F.lit('<img src="a.png" alt="a"><img src="b.png">')).otherwise(F.lit("")),
-        page_text("spans"),
-    )
-    pages = docs.select(F.col("doc_id").alias("url"), content.alias("content"))
+    pages = synth_pages_spark(spark, SynthParams(n_docs=60, n_hosts=6))
     pages.coalesce(1).write.mode("overwrite").parquet(_GATE_PAGES_PATH)
     pages = spark.read.parquet(_GATE_PAGES_PATH)
     out = pages.select(
@@ -1383,6 +1372,172 @@ SELECT a, b, ROUND(MAX(cos), 6) AS cosine FROM (
 
 SPARK_QUERIES["ivf_blocked_pairs"] = q_ivf_blocked_pairs
 SQL_ORACLES["ivf_blocked_pairs"] = SQL_IVF_BLOCKED_PAIRS
+
+
+def q_content_gap(spark, sf_dir):
+    """content_gap_analysis job tail (crawl_service.py:1074-1101, AI call
+    replaced by the relational coverage-gap rendering) over the same
+    doc-derived keyword sets as keyword_gap; DuckDB re-derives shingling,
+    the anti-join, and the coverage counts independently."""
+    from .operators.keywords import content_gap_analysis, doc_keywords
+
+    d = load(spark, sf_dir, "documents")
+    return content_gap_analysis(
+        doc_keywords(d, n_domains=16, n_gram=3), "d0", ["d1", "d2", "d3"]
+    )
+
+
+SQL_CONTENT_GAP = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), '\s+'),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+), kw AS (
+  SELECT DISTINCT 'd' || CAST(doc_id % 16 AS VARCHAR) AS domain,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS keyword
+  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+), tgt AS (SELECT keyword FROM kw WHERE domain = 'd0'),
+   missing AS (
+  SELECT domain, keyword FROM kw
+  WHERE domain IN ('d1', 'd2', 'd3')
+    AND keyword NOT IN (SELECT keyword FROM tgt)
+)
+SELECT 'd0' AS target_domain, keyword,
+       string_split(keyword, ' ')[1] AS topic,
+       CAST(COUNT(DISTINCT domain) AS BIGINT) AS n_competitors
+FROM missing GROUP BY keyword
+"""
+
+SPARK_QUERIES["content_gap"] = q_content_gap
+SQL_ORACLES["content_gap"] = SQL_CONTENT_GAP
+
+
+def q_prospects(spark, sf_dir):
+    """prospect_identification job (link_building_service.py:52-137 strategy
+    1 + scoring :173-201) over an edges table derived from orders (the
+    reference reads stored backlink edges; modular host mapping keeps the
+    link structure sparse so the competitor-not-target difference is
+    non-empty) and the deterministic domain-info stand-in
+    (synth.domain_info_expr), whose arithmetic DuckDB re-derives verbatim."""
+    from .operators.prospects import prospect_identification
+    from .synth import domain_info_from_hosts
+
+    o = load(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 2000).cast("string")).alias("src_host"),
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 8).cast("string")).alias("dst_host"),
+    )
+    domains = domain_info_from_hosts(edges.select(F.col("src_host").alias("name")))
+    return prospect_identification(edges, domains, "h0", ["h1", "h2"])
+
+
+SQL_PROSPECTS = r"""
+WITH edges AS (
+  SELECT 'h' || CAST(o_custkey % 2000 AS VARCHAR) AS src_host,
+         'h' || CAST(o_orderkey % 8 AS VARCHAR) AS dst_host
+  FROM orders
+), info AS (
+  SELECT name,
+         CAST((k * 37) % 100 AS DOUBLE) AS authority_score,
+         ((k * 13) % 10) / 10.0 AS trust_score,
+         ((k * 3) % 10) / 10.0 AS spam_score,
+         200 + (k * 97) % 3000 AS age_days
+  FROM (
+    SELECT name,
+           CAST(COALESCE(NULLIF(regexp_extract(name, '(\d+)', 1), ''), '0') AS INT) AS k
+    FROM (SELECT DISTINCT src_host AS name FROM edges)
+  )
+), comp_link AS (
+  SELECT DISTINCT src_host AS name FROM edges WHERE dst_host IN ('h1', 'h2')
+), tgt_link AS (
+  SELECT DISTINCT src_host AS name FROM edges WHERE dst_host = 'h0'
+), prospects AS (
+  SELECT name FROM comp_link
+  WHERE name NOT IN (SELECT name FROM tgt_link)
+    AND name NOT IN ('h0', 'h1', 'h2')
+)
+SELECT 'https://' || name AS prospect_url,
+       name AS prospect_domain,
+       authority_score,
+       spam_score,
+       ROUND(authority_score * 0.5 + trust_score * 20 - spam_score * 30
+             + 10 + CASE WHEN age_days > 1095 THEN 5 ELSE 0 END + 10, 2) AS score,
+       'Links to competitor, not to target' AS reason,
+       'identified' AS status
+FROM info JOIN prospects USING (name)
+WHERE authority_score >= 20.0 AND spam_score <= 0.3
+"""
+
+SPARK_QUERIES["prospect_identification"] = q_prospects
+SQL_ORACLES["prospect_identification"] = SQL_PROSPECTS
+
+
+_GATE_AUDIT_PATH = f"/tmp/spark_graft_gate_audit_metrics_{os.getpid()}"
+
+
+def q_technical_audit(spark, sf_dir):
+    """technical_audit job tail (crawl_service.py:810-904, Lighthouse/SSL
+    non-goals): the Arrow-batched parser writes its per-URL metrics table to
+    parquet (the parser itself is gate-verified by seo_metrics_sql); both
+    engines derive the issue flags + score subset from the same bytes."""
+    from .functions.seo import parse_seo_metrics_udf
+    from .operators.analytics import technical_audit_from_metrics
+    from .synth import SynthParams, synth_pages_spark
+
+    pages = synth_pages_spark(spark, SynthParams(n_docs=60, n_hosts=6))
+    m = pages.select(
+        "url", parse_seo_metrics_udf(F.col("url"), F.col("content")).alias("seo")
+    ).select("url", "seo.*")
+    m.coalesce(1).write.mode("overwrite").parquet(_GATE_AUDIT_PATH)
+    stored = spark.read.parquet(_GATE_AUDIT_PATH)
+    out = technical_audit_from_metrics(stored)
+    return out.select(
+        "url", "n_issues", "audit_score", "missing_title",
+        "missing_meta_description", "multiple_h1", "missing_h1",
+        "images_without_alt", "thin_content", "no_canonical", "not_https",
+    )
+
+
+SQL_TECHNICAL_AUDIT = f"""
+WITH m AS (SELECT * FROM read_parquet('{_GATE_AUDIT_PATH}/*.parquet')),
+f AS (
+  SELECT url,
+         NOT (title IS NOT NULL AND length(title) > 0) AS missing_title,
+         NOT (meta_description IS NOT NULL AND length(meta_description) > 0)
+           AS missing_meta_description,
+         h1_count > 1 AS multiple_h1,
+         h1_count = 0 AS missing_h1,
+         images_missing_alt > 0 AS images_without_alt,
+         word_count < 50 AS thin_content,
+         NOT has_canonical AS no_canonical,
+         NOT starts_with(url, 'https://') AS not_https,
+         (title IS NOT NULL AND length(title) > 0) AS has_title,
+         (meta_description IS NOT NULL AND length(meta_description) > 0) AS has_meta,
+         h1_count, images_missing_alt
+  FROM m
+)
+SELECT url,
+       CAST((CASE WHEN missing_title THEN 1 ELSE 0 END)
+          + (CASE WHEN missing_meta_description THEN 1 ELSE 0 END)
+          + (CASE WHEN multiple_h1 THEN 1 ELSE 0 END)
+          + (CASE WHEN missing_h1 THEN 1 ELSE 0 END)
+          + (CASE WHEN images_without_alt THEN 1 ELSE 0 END)
+          + (CASE WHEN thin_content THEN 1 ELSE 0 END)
+          + (CASE WHEN no_canonical THEN 1 ELSE 0 END)
+          + (CASE WHEN not_https THEN 1 ELSE 0 END) AS INT) AS n_issues,
+       CAST((CASE WHEN has_title THEN 15 ELSE 0 END)
+          + (CASE WHEN has_meta THEN 10 ELSE 0 END)
+          + (CASE WHEN h1_count >= 1 THEN 10 ELSE 0 END)
+          + (CASE WHEN images_missing_alt = 0 THEN 10 ELSE 0 END)
+          + (CASE WHEN NOT not_https THEN 10 ELSE 0 END) AS INT) AS audit_score,
+       missing_title, missing_meta_description, multiple_h1, missing_h1,
+       images_without_alt, thin_content, no_canonical, not_https
+FROM f
+"""
+
+SPARK_QUERIES["technical_audit"] = q_technical_audit
+SQL_ORACLES["technical_audit"] = SQL_TECHNICAL_AUDIT
 
 ROWS_ONLY_QUERIES = {
     "crawl_bfs_order": q_crawl_bfs_order,

@@ -236,3 +236,61 @@ def robots_spark(spark, p: SynthParams):
     from .schemas import ROBOTS
 
     return spark.createDataFrame(robots_rows(p), schema=ROBOTS)
+
+
+def domain_info_expr(name_col):
+    """Deterministic domain-info attributes derived from a host/domain name
+    (FIXTURES.md-style identity rule, shared by run_job standalone inputs,
+    the prospects gate query, and its DuckDB twin — which re-derives the
+    same arithmetic from the same regex): k = first digit-run in the name,
+    then fixed modular mixes. Pure Catalyst; returns a struct column."""
+    import pyspark.sql.functions as F
+
+    k = F.coalesce(
+        F.nullif(F.regexp_extract(name_col, r"(\d+)", 1), F.lit("")), F.lit("0")
+    ).cast("int")
+    return F.struct(
+        ((k * 37) % 100).cast("double").alias("authority_score"),
+        (((k * 13) % 10) / 10.0).alias("trust_score"),
+        (((k * 3) % 10) / 10.0).alias("spam_score"),
+        (((k * 3) % 10) * 10.0).alias("spam_pct"),
+        (200 + (k * 97) % 3000).cast("int").alias("age_days"),
+        ((k % 5) == 0).alias("available"),
+    )
+
+
+def domain_info_from_hosts(hosts_df, name_col: str = "name"):
+    """(name, authority_score, trust_score, spam_score, spam_pct, age_days,
+    available) for each distinct name in hosts_df[name_col] — the stand-in
+    for the reference's domain_service.get_domain_info store. spam_score is
+    the 0-1 scale (link_building_service.py:85 max_spam_score=0.3 contract);
+    spam_pct the 0-100 scale (domain_analyzer_service.py spam<=30 contract)."""
+    import pyspark.sql.functions as F
+
+    d = hosts_df.select(F.col(name_col).alias("name")).distinct()
+    return d.select("name", domain_info_expr(F.col("name")).alias("i")).select(
+        "name", "i.*"
+    )
+
+
+def synth_pages_spark(spark, p: SynthParams):
+    """(url, content) page fixtures: the doc's span text plus
+    deterministically injected title/meta/h1/img markup — the
+    seo_metrics_sql gate fixture, shared with the technical_audit job so
+    both exercise the same parser surface."""
+    import pyspark.sql.functions as F
+
+    from .functions.seo import page_text
+
+    docs = synth_docs_spark(spark, p)
+    did = F.regexp_extract(F.col("doc_id"), r"/p/(\d+)$", 1).cast("int")
+    content = F.concat(
+        F.lit("<title>Doc "), did.cast("string"), F.lit(" overview</title>"),
+        F.when(did % 2 == 0,
+               F.concat(F.lit('<meta name="description" content="desc '),
+                        did.cast("string"), F.lit('">'))).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("<h1>Main</h1><h2>Sub</h2><h2>Sub2</h2>")).otherwise(F.lit("<h1>Only</h1>")),
+        F.when(did % 4 == 0, F.lit('<img src="a.png" alt="a"><img src="b.png">')).otherwise(F.lit("")),
+        page_text("spans"),
+    )
+    return docs.select(F.col("doc_id").alias("url"), content.alias("content"))
