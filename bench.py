@@ -407,17 +407,27 @@ def main() -> None:
     eff_raw_med = (
         round(lo_med / ((n_high / n_low) * hi_med), 3) if lo_med and hi_med else None
     )
-    # PRIMARY raw-wall headline: best-of-per-level. External neighbor load
-    # on this shared microVM can only DEGRADE a run's throughput (it never
-    # speeds us up), so across 12 runs per level the best run is the
-    # tightest lower bound on that level's true capability — and with at
-    # least one quiet window per level, the ratio of the two best runs
-    # approximates the uncontended (dedicated-cluster) efficiency the
-    # criterion describes. Medians (raw + CPU) are reported alongside; they
-    # include whatever the neighbors were doing and sit lower on busy days.
+    # Raw-wall best-of-per-level: external neighbor load on this shared
+    # microVM can only DEGRADE a run's throughput (it never speeds us up),
+    # so across 12 runs per level the best run is the tightest lower bound
+    # on that level's true capability — and with at least one quiet window
+    # per level, the ratio of the two best runs approximates the
+    # uncontended (dedicated-cluster) efficiency the criterion describes.
+    # But it is an upward-BIASED estimator (shorter hi runs fit quiet
+    # windows more easily than lo runs), so the HEADLINE requires BOTH
+    # independent estimators to clear the bar: headline = min(raw-wall
+    # best-of, CPU-time median). The CPU estimator (Executor CPU Time,
+    # on-CPU ns — insensitive to host preemption) degrades exactly when the
+    # higher level burns more CPU for the same rows; the raw estimator
+    # degrades when wall scaling breaks. Neither alone can inflate the
+    # reported number past what the other corroborates.
     eff_raw_best = round(speedup / (n_high / n_low), 3)
-    efficiency = eff_raw_best
-    eff_label = "raw wall, best-of-per-level"
+    if eff_cpu is not None:
+        efficiency = min(eff_raw_best, eff_cpu)
+        eff_label = "min(raw-wall best-of-per-level, CPU-time median)"
+    else:
+        efficiency = eff_raw_best
+        eff_label = "raw wall, best-of-per-level (no CPU metrics captured)"
     frontier = {
         "n_cores": low,
         "4n_cores": high,
@@ -431,15 +441,23 @@ def main() -> None:
     }
     qtimes["frontier_epoch"] = high["seconds"]
 
-    # end-to-end crawl throughput (one subprocess, full machine)
+    # End-to-end crawl throughput: best of CRAWL_SAMPLES fresh subprocesses.
+    # One sample cannot distinguish sandbox noise from a real regression
+    # (r2 60.2s vs r3 78.0s on the identical workload was undecidable);
+    # with >=2 samples the best one bounds true capability the same way the
+    # kernel's best-of does, and all samples are reported for transparency.
     import subprocess
 
-    crawl = json.loads(
-        subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--crawl", str(CPUS)],
-            capture_output=True, text=True, check=True,
-        ).stdout.strip().splitlines()[-1]
-    )
+    crawl_samples = []
+    for _ in range(int(os.environ.get("BENCH_CRAWL_SAMPLES", "2"))):
+        crawl_samples.append(json.loads(
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--crawl", str(CPUS)],
+                capture_output=True, text=True, check=True,
+            ).stdout.strip().splitlines()[-1]
+        ))
+    crawl = min(crawl_samples, key=lambda c: c["seconds"])
+    crawl["sample_seconds"] = [c["seconds"] for c in crawl_samples]
     qtimes["crawl_e2e"] = crawl["seconds"]
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -475,16 +493,18 @@ def main() -> None:
             f"| local[{high['cores']}] (4N) | {high['seconds']} | {high['urls_per_sec']:,} |\n\n"
             f"**scaling efficiency ({eff_label}) = {efficiency}** "
             "(criterion: >= 0.8 between N and 4N, BASELINE.json). "
-            "Corroborating estimators under the mixed neighbor load of the "
-            "same rounds: "
+            "All estimators: "
+            f"raw-wall best-of-per-level = {eff_raw_best}; "
             f"CPU-based median = {eff_cpu}; "
             f"ratio of per-level median walls = {eff_raw_med}; "
             f"median of per-round wall ratios = {eff_raw_rounds}. "
-            "Rationale for the headline: neighbor load only degrades a "
-            "run, so each level's best of 12 runs is the tightest lower "
-            "bound on its true throughput, and their ratio approximates "
-            "the dedicated-cluster efficiency; the medians mix in "
-            "whatever the neighbors were doing.\n\n"
+            "Rationale for the headline: the raw best-of ratio is the "
+            "tightest lower bound on dedicated-cluster wall scaling "
+            "(neighbor load only degrades a run) but is upward-biased "
+            "under contention, so the headline takes the MINIMUM of it "
+            "and the preemption-insensitive CPU-time median — both "
+            "independent estimators must clear 0.8 for the criterion to "
+            "count as met.\n\n"
             "Per-round (N urls/s, 4N urls/s, N cpu_s, 4N cpu_s, N packing, "
             "4N packing, raw eff, cpu eff): "
             + "; ".join(
@@ -501,7 +521,8 @@ def main() -> None:
             f"**{crawl['pages_crawled']:,} pages in {crawl['seconds']}s = "
             f"{crawl['pages_per_sec']:,} pages/sec** "
             f"({crawl['urls_scheduled']:,} URLs scheduled+deduped across "
-            f"{crawl['epochs']} epochs).\n"
+            f"{crawl['epochs']} epochs; best of {len(crawl_samples)} fresh "
+            f"subprocess samples, walls {crawl['sample_seconds']}).\n"
             "Reference self-reported crawl throughput: 2-25 RPS/instance, "
             "100-1000+ pages/min (PRODUCTION_UPGRADE_GUIDE.md:126, "
             "README.md:569). Caveat on the comparison: the reference numbers "
@@ -538,6 +559,7 @@ def main() -> None:
         "pages_crawled": crawl["pages_crawled"],
         "seconds": crawl["seconds"],
         "pages_per_sec": crawl["pages_per_sec"],
+        "sample_seconds": crawl["sample_seconds"],
     }
     print(json.dumps(compact))
 

@@ -119,6 +119,10 @@ class CrawlEngine:
         # the accumulated side (sources/bucketed.py; the 10^10-scale layout)
         self.seen_layout = seen_layout
         self.metrics_enabled = metrics_enabled
+        # step-wall profiling (CRAWL_PROF=1): {epoch: {step: seconds}}; the
+        # _step job descriptions are always set (negligible cost, driver-side)
+        self._prof: dict | None = {} if os.environ.get("CRAWL_PROF") else None
+        self._prof_last: tuple[str, float] | None = None
         self._bucketed = None
         if seen_layout == "bucketed":
             from ..sources.bucketed import BucketedSeenTable
@@ -240,6 +244,20 @@ class CrawlEngine:
             return bloom
         return add_to_bloom(bloom, df, "xx64", self.bloom_bits)
 
+    def _step(self, epoch: int, label: str) -> None:
+        """Tag subsequent Spark jobs with the loop step that issued them, so
+        an event-log profiling run attributes wall time per step (and records
+        the previous step's wall in per-epoch stats when profiling is on)."""
+        now = time.monotonic()
+        if self._prof is not None:
+            prev_label, prev_t = self._prof_last or (None, now)
+            if prev_label is not None:
+                self._prof.setdefault(epoch, {})[prev_label] = round(
+                    self._prof.setdefault(epoch, {}).get(prev_label, 0.0)
+                    + (now - prev_t), 3)
+            self._prof_last = (label, now)
+        self.spark.sparkContext.setJobDescription(f"epoch {epoch}: {label}")
+
     def _log_metrics(self, epoch: int, stages: list[tuple[str, DataFrame]]) -> None:
         """Per-partition lineage counters (north_rule): one write per epoch,
         all stages unioned."""
@@ -333,6 +351,7 @@ class CrawlEngine:
             elig = self._not_seen(elig, seen, bloom)
 
             small = n_wave < self.small_wave_threshold
+            self._step(epoch, "rank_wave")
             ranked, n_elig = with_global_index(elig, ["wave_seq"], "crawl_idx", small=small)
             cut = cfg.max_pages - crawled
             n_crawled_wave = min(n_elig, cut)
@@ -352,6 +371,7 @@ class CrawlEngine:
                 "url_hash", "url", "xx64", "depth", "crawl_order", "status_code",
                 F.lit(epoch).alias("epoch"),
             )
+            self._step(epoch, "fetch_join+seen_write")
             store.write_epoch("seen", epoch, seen_delta, coalesce=1 if small else None)
 
             pages = self._pages_for_extraction(
@@ -394,6 +414,7 @@ class CrawlEngine:
                     F.lit(epoch).alias("epoch"),
                 )
             )
+            self._step(epoch, "extract+edges_write")
             store.write_epoch("edges", epoch, edges_new, coalesce=1 if small else None)
 
             # children admission (enqueue checks, crawl_service.py:595-601):
@@ -414,7 +435,12 @@ class CrawlEngine:
                 .drop("_cu", "_ck")
             )
 
-            nxt, n_cand = with_global_index(cand, ["parent_q", "pos"], "wave_seq", small=small)
+            self._step(epoch, "rank_candidates")
+            # keep_pid: budget admission below reuses this pass's partitioning
+            # + in-partition order, so it needs no re-shuffle of its own
+            nxt, n_cand = with_global_index(
+                cand, ["parent_q", "pos"], "wave_seq", small=small, keep_pid=True
+            )
             self.stats.scheduled += n_cand
 
             # max_pages admission budget (crawl_service.py:599-600). Fast path:
@@ -422,24 +448,29 @@ class CrawlEngine:
             # budget => everything admitted, no sequential work.
             bound = crawled + n_crawled_wave + n_wave + n_cand
             if bound >= cfg.max_pages:
+                self._step(epoch, "sequential_admission")
                 nxt = self._sequential_admission(nxt, crawled, n_wave)
 
             nxt = nxt.select(*_FRONTIER_COLS)
+            self._step(epoch, "frontier_write")
             store.write_epoch("frontier", epoch, nxt, coalesce=1 if small else None)
             # metrics BEFORE the bucketed append: the metrics job re-evaluates
             # plans whose lineage anti-joins the bucketed seen table; after the
             # append, a cache eviction would recompute them against a table
             # that already contains this wave's own rows
+            self._step(epoch, "metrics")
             self._log_metrics(epoch, [("crawled", fetched), ("scheduled", nxt)])
             if self._bucketed is not None:
                 # append AFTER all of this wave's anti-join consumers ran —
                 # spark.table() is lazy, so an earlier append would leak this
                 # wave's seen rows into its own candidate filtering
+                self._step(epoch, "seen_append")
                 keys = seen_delta.select("url_hash")
                 if self._bucketed.exists():
                     self._bucketed.append(keys)
                 else:
                     self._bucketed.init(keys)
+            self._step(epoch, "bloom_insert")
             bloom = self._bloom_insert(bloom, seen_delta)
             if bloom is not None:
                 store.write_bloom(epoch, bloom)
@@ -454,9 +485,11 @@ class CrawlEngine:
             fetched.unpersist()
             links.unpersist()
             unpersist_all()
+            self._step(epoch, "commit+next_wave_count")
             frontier = store.read_epoch(spark, "frontier", epoch)
             n_wave = n_cand if bound < cfg.max_pages else frontier.count()
 
+        self._step(epoch, "end")  # flush the last step's wall into prof
         self.stats.epochs = epoch
         self.stats.crawled = crawled
         self.stats.wall_seconds = time.monotonic() - t0
@@ -477,67 +510,95 @@ class CrawlEngine:
           A(j) = j + min(0, min_{l<=j}(max(t_l, 0) - l))
         (proved by induction: in an admit step the running min is unchanged,
         in a skip step it drops by exactly 1 because A(j-1) = max(t_j, 0)).
-        The running min is a per-partition window over range-partitioned data
-        plus tiny per-partition offsets — same two-pass shape as
-        order.with_global_index, nothing wave-sized ever reaches the driver."""
-        spark = self.spark
-        BIG = F.lit(1 << 62).cast("long")
-        t = (
-            F.lit(self.cfg.max_pages).cast("long")
-            - F.lit(crawled)
-            - F.lit(n_wave)
-            - F.col("parent_k")
-            + F.col("parent_q")
+        The running min is per-partition cumulative state over data the
+        caller's with_global_index already range-partitioned and sorted
+        (keep_pid=True), plus tiny per-partition offsets — nothing
+        wave-sized ever reaches the driver and NO re-shuffle happens:
+        one tiny aggregate (per-partition min/count of _s) then one
+        Arrow mapInPandas pass that flags admits, assigns the re-densified
+        wave_seq in place (rank among admitted = A(j-1), derived from the
+        same recurrence), and drops rejected rows. The driver also derives
+        each partition's admitted-count offset in closed form:
+        A(last j of prior partitions) = cum_rows + min(0, running min)."""
+        import pandas as pd
+
+        BIG = 1 << 62
+        max_pages = self.cfg.max_pages
+
+        if "_pid" not in cand_indexed.columns:
+            # small-wave path: with_global_index scrambled placement on its
+            # fan-out, so rebuild the (single) sorted partition — a 1-partition
+            # shuffle of a sub-threshold wave, upstream stays parallel
+            cand_indexed = (
+                cand_indexed.repartition(1)
+                .sortWithinPartitions("wave_seq")
+                .withColumn("_pid", F.spark_partition_id())
+            )
+
+        s_expr = (
+            F.greatest(
+                F.lit(max_pages).cast("long")
+                - F.lit(crawled)
+                - F.lit(n_wave)
+                - F.col("parent_k")
+                + F.col("parent_q"),
+                F.lit(0).cast("long"),
+            )
+            - (F.col("wave_seq") + F.lit(1))
         )
-        j = F.col("wave_seq") + F.lit(1)
-        d = cand_indexed.withColumn("_t", t).withColumn(
-            "_s", F.greatest(F.col("_t"), F.lit(0).cast("long")) - j
-        )
-        nparts = max(2, spark.sparkContext.defaultParallelism)
-        d = (
-            d.repartitionByRange(nparts, "wave_seq")
-            .sortWithinPartitions("wave_seq")
-            .withColumn("_pid", F.spark_partition_id())
-        )
-        track_persist(d.persist())
-        # per-partition minima of _s (one row per partition — bounded, tiny)
-        pmins = {
-            int(r["_pid"]): int(r["m"])
-            for r in d.groupBy("_pid").agg(F.min("_s").alias("m")).collect()
+        stats = {
+            int(r["_pid"]): (int(r["m"]), int(r["c"]))
+            for r in cand_indexed.withColumn("_s", s_expr)
+            .groupBy("_pid")
+            .agg(F.min("_s").alias("m"), F.count("*").alias("c"))
+            .collect()
         }
-        prefix: dict[int, int] = {}
-        acc = 1 << 62
-        for pid in sorted(pmins):
-            prefix[pid] = acc  # min of all partitions BEFORE this one
-            acc = min(acc, pmins[pid])
-        if prefix:
-            pref_df = F.broadcast(
-                spark.createDataFrame(
-                    [(pid, m) for pid, m in prefix.items()],
-                    schema="_pid int, _pref long",
+        prefix: dict[int, int] = {}  # min of _s over all partitions BEFORE pid
+        row_off: dict[int, int] = {}  # total rows in partitions BEFORE pid
+        accmin, cum = BIG, 0
+        for pid in sorted(stats):
+            prefix[pid] = accmin
+            row_off[pid] = cum
+            accmin = min(accmin, stats[pid][0])
+            cum += stats[pid][1]
+
+        out_schema = T.StructType(
+            [f for f in cand_indexed.schema.fields if f.name != "_pid"]
+        )
+        cols = [f.name for f in out_schema.fields]
+
+        def admit(it):
+            carry_min = None  # min of _s over rows before this one (global)
+            j0 = None  # global 1-based j of this partition's first row, minus 1
+            local = 0
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                if carry_min is None:
+                    pid = int(pdf["_pid"].iloc[0])
+                    carry_min = prefix.get(pid, BIG)
+                    j0 = row_off.get(pid, 0)
+                j = j0 + local + np.arange(1, len(pdf) + 1, dtype=np.int64)
+                t = (
+                    np.int64(max_pages - crawled - n_wave)
+                    - pdf["parent_k"].to_numpy(np.int64)
+                    + pdf["parent_q"].to_numpy(np.int64)
                 )
-            )
-            d = d.join(pref_df, "_pid", "left")
-        else:
-            d = d.withColumn("_pref", BIG)
-        w = (
-            Window.partitionBy("_pid")
-            .orderBy("wave_seq")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        prev_min = F.least(F.coalesce(F.min("_s").over(w), BIG), F.col("_pref"))
-        # A(j-1) = (j-1) + min(0, prevM);  admit iff A(j-1) < t_j
-        kept = (
-            d.withColumn(
-                "_admit",
-                (F.col("wave_seq") + F.least(F.lit(0).cast("long"), prev_min)) < F.col("_t"),
-            )
-            .filter(F.col("_admit"))
-            .drop("_admit", "_t", "_s", "_pid", "_pref")
-        )
-        # re-densify wave_seq so queue positions stay exact for the next wave
-        kept, _ = with_global_index(kept, ["wave_seq"], "_ws")
-        return kept.drop("wave_seq").withColumnRenamed("_ws", "wave_seq")
+                s = np.maximum(t, 0) - j
+                # M_{j-1}: running min of s over all rows strictly before j
+                run = np.minimum.accumulate(
+                    np.concatenate(([np.int64(carry_min)], s[:-1]))
+                )
+                a_prev = (j - 1) + np.minimum(np.int64(0), run)
+                keep = a_prev < t
+                out = pdf.loc[keep, cols].copy()
+                # rank among admitted, 0-based == A(j-1) at an admit step
+                out["wave_seq"] = pd.array(a_prev[keep], dtype="int64")
+                carry_min = int(min(carry_min, s.min())) if len(s) else carry_min
+                local += len(pdf)
+                yield out
+
+        return cand_indexed.mapInPandas(admit, schema=out_schema)
 
     # -- outputs ----------------------------------------------------------------
 
@@ -551,6 +612,8 @@ class CrawlEngine:
 
         spark = self.spark
         out = {"stats": self.stats}
+        if self._prof is not None:
+            out["prof"] = self._prof
         for name, schema in (
             ("seen", schemas.SEEN),
             ("edges", schemas.EDGES),
@@ -742,6 +805,7 @@ class CrawlEngine:
                 "url_hash", "url", "xx64", "depth", "crawl_order", "status_code",
                 F.lit(epoch).alias("epoch"),
             )
+            self._step(epoch, "fetch_join+seen_write")
             store.write_epoch("seen", epoch, seen_delta, coalesce=1 if small else None)
 
             pages = self._pages_for_extraction(
@@ -775,6 +839,7 @@ class CrawlEngine:
                     F.lit(epoch).alias("epoch"),
                 )
             )
+            self._step(epoch, "extract+edges_write")
             store.write_epoch("edges", epoch, edges_new, coalesce=1 if small else None)
 
             # new candidates: admission-dedup vs 'enqueued' state + robots/domain

@@ -48,6 +48,7 @@ def with_global_index(
     out_col: str = "idx",
     num_partitions: int | None = None,
     small: bool = False,
+    keep_pid: bool = False,
 ) -> tuple[DataFrame, int]:
     """Dense global index in the total order of `order_cols` (must be a
     deterministic total order — include a unique tiebreaker column).
@@ -56,7 +57,14 @@ def with_global_index(
     small=True takes the single-partition window shortcut (1 job instead of 3)
     — correct at any size but serial; callers flip it when the input is known
     to be driver-trivial (e.g. a crawl wave far below the shuffle threshold).
-    The default path stays fully distributed for the 10^10 design point."""
+    The default path stays fully distributed for the 10^10 design point.
+
+    keep_pid=True (distributed path only) retains the internal ``_pid``
+    physical-partition column in the output, whose rows stay range-ordered
+    and sorted by `order_cols` within each partition — downstream consumers
+    (the crawl budget admission) can then run per-partition cumulative logic
+    with NO re-shuffle. The small path scrambles placement on fan-out, so it
+    never emits _pid."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = max(2, spark.sparkContext.defaultParallelism)
@@ -64,7 +72,13 @@ def with_global_index(
         from pyspark.sql import Window
 
         w = Window.orderBy(*order_cols)
-        indexed = df.coalesce(1).withColumn(
+        # repartition(1), NOT coalesce(1): coalesce propagates the 1-partition
+        # constraint UP through the whole lineage (bloom probe, anti-joins,
+        # extraction all serialize on one core — measured 11-12s/epoch on a
+        # <2000-row wave whose actual data is trivial); a 1-partition shuffle
+        # keeps upstream at full parallelism and only the tiny shuffled wave
+        # is serial.
+        indexed = df.repartition(1).withColumn(
             out_col, F.row_number().over(w).cast("long") - 1
         )
         # CRITICAL: fan back out after the single-partition window — without
@@ -99,7 +113,10 @@ def with_global_index(
         offsets[pid] = acc
         acc += counts[pid]
 
-    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.LongType(), False)])
+    out_fields = df.schema.fields + [T.StructField(out_col, T.LongType(), False)]
+    if keep_pid:
+        out_fields = out_fields + [T.StructField("_pid", T.IntegerType(), False)]
+    out_schema = T.StructType(out_fields)
     cols = [f.name for f in df.schema.fields]
 
     def assign(it):
@@ -113,6 +130,8 @@ def with_global_index(
             n = len(pdf)
             out = pdf[cols].copy()
             out[out_col] = range(pos, pos + n)
+            if keep_pid:
+                out["_pid"] = pdf["_pid"].values
             pos += n
             yield out
 

@@ -1136,21 +1136,66 @@ def q_crawl_bfs_order(spark, sf_dir):
 
 
 def q_crawl_link_profile(spark, sf_dir):
+    """A1+A2 over REAL crawl output, fully SQL-oracled (r4; was rows-only):
+    reads the exported crawl-edge parquet so DuckDB re-derives the entire
+    rollup — scalar counters, sample context, AND the top-10 anchor/domain
+    maps rendered to JSON with the identical (cnt DESC, key DESC) entry
+    order Spark's sort_array(struct(cnt,key), asc=False) pins. The
+    map-typed operator output itself is unchanged (pytest goldens cover
+    it); to_json makes the cells driver-hashable."""
     from .operators.profile import full_link_profile
 
-    out = _crawl_outputs(spark)
-    prof = full_link_profile(out["edges"])
-    # gate wrapper: the driver canonicalizer sorts rows in pandas and cannot
-    # hash map cells — serialize the two top-k maps to JSON (scalar columns);
-    # the map-typed operator output is unchanged (pytest goldens cover it)
+    prof = full_link_profile(_crawled_edges(spark))
     return prof.select(
         *[
             F.to_json(F.col(c)).alias(c)
             if c in ("top_anchor_text", "top_src_host")
+            else F.coalesce(F.col(c), F.lit("")).alias(c)
+            if c == "sample_context_text"
             else F.col(c)
             for c in prof.columns
         ]
     ).orderBy("target_url")
+
+
+SQL_CRAWL_LINK_PROFILE = f"""
+WITH e AS (SELECT * FROM read_parquet('{_GATE_EDGES_PATH}/*.parquet')),
+base AS (
+  SELECT dst AS target_url,
+         COUNT(*) AS total_backlinks,
+         COUNT(DISTINCT src_host) AS unique_referring_domains,
+         CAST(SUM(CASE WHEN link_type = 'dofollow' THEN 1 ELSE 0 END) AS BIGINT) AS dofollow_backlinks,
+         CAST(SUM(CASE WHEN link_type = 'nofollow' THEN 1 ELSE 0 END) AS BIGINT) AS nofollow_backlinks,
+         CAST(SUM(CASE WHEN link_type = 'sponsored' THEN 1 ELSE 0 END) AS BIGINT) AS sponsored_backlinks,
+         CAST(SUM(CASE WHEN link_type = 'ugc' THEN 1 ELSE 0 END) AS BIGINT) AS ugc_backlinks,
+         CAST(SUM(CASE WHEN link_type = 'canonical' THEN 1 ELSE 0 END) AS BIGINT) AS canonical_backlinks,
+         COALESCE(MAX(CASE WHEN context_text <> '' THEN context_text END), '') AS sample_context_text
+  FROM e GROUP BY dst
+),
+ac AS (SELECT dst, anchor_text AS k, COUNT(*) AS cnt FROM e GROUP BY dst, anchor_text),
+ar AS (SELECT dst, k, cnt,
+              ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, k DESC) AS rn
+       FROM ac),
+aj AS (SELECT dst,
+              '{{' || string_agg('"' || k || '":' || CAST(cnt AS VARCHAR), ','
+                                ORDER BY cnt DESC, k DESC) || '}}' AS top_anchor_text
+       FROM ar WHERE rn <= 10 GROUP BY dst),
+sc AS (SELECT dst, src_host AS k, COUNT(*) AS cnt FROM e GROUP BY dst, src_host),
+sr AS (SELECT dst, k, cnt,
+              ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, k DESC) AS rn
+       FROM sc),
+sj AS (SELECT dst,
+              '{{' || string_agg('"' || k || '":' || CAST(cnt AS VARCHAR), ','
+                                ORDER BY cnt DESC, k DESC) || '}}' AS top_src_host
+       FROM sr WHERE rn <= 10 GROUP BY dst)
+SELECT b.*, aj.top_anchor_text, sj.top_src_host
+FROM base b
+JOIN aj ON aj.dst = b.target_url
+JOIN sj ON sj.dst = b.target_url
+"""
+
+SPARK_QUERIES["crawl_link_profile"] = q_crawl_link_profile
+SQL_ORACLES["crawl_link_profile"] = SQL_CRAWL_LINK_PROFILE
 
 
 _GATE_SIGS_PATH = f"/tmp/spark_graft_gate_minhash_sigs_{os.getpid()}"
@@ -1542,13 +1587,12 @@ SQL_ORACLES["technical_audit"] = SQL_TECHNICAL_AUDIT
 ROWS_ONLY_QUERIES = {
     "crawl_bfs_order": q_crawl_bfs_order,
     "crawl_scheduler_order": q_crawl_scheduler_order,
-    "crawl_link_profile": q_crawl_link_profile,
     "ivf_ann_topk": q_ivf_topk,
     "media_features": q_media_features,
     # (r2's rows-only "seo_metrics" dropped: fully redundant with the
     # SQL-oracled seo_metrics_sql row, which re-derives every regex in DuckDB;
-    # r4 moves minhash_near_dup + partial_dup_chunks to the SQL-oracled set —
-    # their relational tails now verify against DuckDB over the exported
-    # signature/chunk tables, leaving only the crawl-ordering, IVF-recall and
-    # media-plumbing rows pytest-oracled)
+    # r4 moves minhash_near_dup + partial_dup_chunks + crawl_link_profile to
+    # the SQL-oracled set — their relational tails now verify against DuckDB
+    # over the exported signature/chunk/crawl-edge tables, leaving only the
+    # crawl-ordering, IVF-recall and media-plumbing rows pytest-oracled)
 }
