@@ -352,7 +352,13 @@ class CrawlEngine:
 
             small = n_wave < self.small_wave_threshold
             self._step(epoch, "rank_wave")
-            ranked, n_elig = with_global_index(elig, ["wave_seq"], "crawl_idx", small=small)
+            # bucket_by: wave_seq is dense in [0, n_wave) by construction
+            # (seed/admission/indexing all emit dense indexes), so the global
+            # index needs no range-sampling pass over the filter lineage
+            ranked, n_elig = with_global_index(
+                elig, ["wave_seq"], "crawl_idx", small=small,
+                bucket_by=("wave_seq", n_wave),
+            )
             cut = cfg.max_pages - crawled
             n_crawled_wave = min(n_elig, cut)
             if n_elig > cut:
@@ -439,7 +445,10 @@ class CrawlEngine:
             # keep_pid: budget admission below reuses this pass's partitioning
             # + in-partition order, so it needs no re-shuffle of its own
             nxt, n_cand = with_global_index(
-                cand, ["parent_q", "pos"], "wave_seq", small=small, keep_pid=True
+                cand, ["parent_q", "pos"], "wave_seq", small=small, keep_pid=True,
+                # parent_q (the parent's dense wave position) is the leading
+                # order column and lives in [0, n_wave)
+                bucket_by=("parent_q", n_wave),
             )
             self.stats.scheduled += n_cand
 
@@ -568,34 +577,50 @@ class CrawlEngine:
         cols = [f.name for f in out_schema.fields]
 
         def admit(it):
-            carry_min = None  # min of _s over rows before this one (global)
-            j0 = None  # global 1-based j of this partition's first row, minus 1
-            local = 0
+            # a task holds one or more whole buckets (sorted by _pid, then
+            # wave_seq); per-bucket state restarts from the driver-derived
+            # prefix/row offsets at each bucket boundary
+            cur = None
+            carry_min = BIG  # min of _s over all rows globally before this one
+            j0 = 0  # global rows before the current bucket
+            local = 0  # rows of the current bucket already processed
             for pdf in it:
                 if len(pdf) == 0:
                     continue
-                if carry_min is None:
-                    pid = int(pdf["_pid"].iloc[0])
-                    carry_min = prefix.get(pid, BIG)
-                    j0 = row_off.get(pid, 0)
-                j = j0 + local + np.arange(1, len(pdf) + 1, dtype=np.int64)
-                t = (
+                pids = pdf["_pid"].to_numpy()
+                keep_all = np.zeros(len(pdf), dtype=bool)
+                ws_all = np.empty(len(pdf), dtype=np.int64)
+                t_all = (
                     np.int64(max_pages - crawled - n_wave)
                     - pdf["parent_k"].to_numpy(np.int64)
                     + pdf["parent_q"].to_numpy(np.int64)
                 )
-                s = np.maximum(t, 0) - j
-                # M_{j-1}: running min of s over all rows strictly before j
-                run = np.minimum.accumulate(
-                    np.concatenate(([np.int64(carry_min)], s[:-1]))
+                starts = np.flatnonzero(
+                    np.concatenate(([True], pids[1:] != pids[:-1]))
                 )
-                a_prev = (j - 1) + np.minimum(np.int64(0), run)
-                keep = a_prev < t
-                out = pdf.loc[keep, cols].copy()
-                # rank among admitted, 0-based == A(j-1) at an admit step
-                out["wave_seq"] = pd.array(a_prev[keep], dtype="int64")
-                carry_min = int(min(carry_min, s.min())) if len(s) else carry_min
-                local += len(pdf)
+                for i, st in enumerate(starts):
+                    en = starts[i + 1] if i + 1 < len(starts) else len(pdf)
+                    b = int(pids[st])
+                    if b != cur:
+                        cur = b
+                        carry_min = prefix.get(b, BIG)
+                        j0 = row_off.get(b, 0)
+                        local = 0
+                    t = t_all[st:en]
+                    j = j0 + local + np.arange(1, en - st + 1, dtype=np.int64)
+                    s = np.maximum(t, 0) - j
+                    # M_{j-1}: running min of s over all rows strictly before j
+                    run = np.minimum.accumulate(
+                        np.concatenate(([np.int64(carry_min)], s[:-1]))
+                    )
+                    a_prev = (j - 1) + np.minimum(np.int64(0), run)
+                    keep_all[st:en] = a_prev < t
+                    # rank among admitted, 0-based == A(j-1) at an admit step
+                    ws_all[st:en] = a_prev
+                    carry_min = int(min(carry_min, s.min()))
+                    local += en - st
+                out = pdf.loc[keep_all, cols].copy()
+                out["wave_seq"] = pd.array(ws_all[keep_all], dtype="int64")
                 yield out
 
         return cand_indexed.mapInPandas(admit, schema=out_schema)

@@ -49,6 +49,7 @@ def with_global_index(
     num_partitions: int | None = None,
     small: bool = False,
     keep_pid: bool = False,
+    bucket_by: tuple[str, int] | None = None,
 ) -> tuple[DataFrame, int]:
     """Dense global index in the total order of `order_cols` (must be a
     deterministic total order — include a unique tiebreaker column).
@@ -60,11 +61,20 @@ def with_global_index(
     The default path stays fully distributed for the 10^10 design point.
 
     keep_pid=True (distributed path only) retains the internal ``_pid``
-    physical-partition column in the output, whose rows stay range-ordered
-    and sorted by `order_cols` within each partition — downstream consumers
-    (the crawl budget admission) can then run per-partition cumulative logic
+    range-bucket column in the output, whose rows stay bucket-ordered and
+    sorted by `order_cols` within each bucket run — downstream consumers
+    (the crawl budget admission) can then run per-bucket cumulative logic
     with NO re-shuffle. The small path scrambles placement on fan-out, so it
-    never emits _pid."""
+    never emits _pid.
+
+    bucket_by=(col, domain) — when the leading order column `col` is known
+    to be a long in [0, domain) (e.g. a dense index from a previous pass),
+    buckets are computed DETERMINISTICALLY as col * n_buckets // domain and
+    hash-shuffled, instead of repartitionByRange. This skips the range
+    sampling pass, which otherwise evaluates the (possibly expensive)
+    upstream lineage a second time. Monotonicity of the bucket id along the
+    total order is the caller's contract; 4x buckets per partition keep the
+    hash placement balanced."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = max(2, spark.sparkContext.defaultParallelism)
@@ -93,14 +103,28 @@ def with_global_index(
         return out, out.count()
 
     # NOTE: repartitionByRange runs a sampling pass over its child before the
-    # shuffle; persisting the input first was A/B-tested (r3) and changed
-    # total task CPU by ~0 at bench scale (the upstream is cheap or the wave
-    # took the small-path) while adding cache-management jobs — not worth it.
-    sorted_df = (
-        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-    )
+    # shuffle; persisting the input first was A/B-tested (r3, re-confirmed
+    # r4) and is a net LOSS at bench scale (cache churn outweighs the saved
+    # re-eval). bucket_by avoids the sampling pass structurally instead.
+    if bucket_by is not None:
+        bcol, domain = bucket_by
+        n_buckets = 4 * num_partitions
+        # integer DIV: float division would lose exactness past 2^53 at the
+        # 10^10-row design point
+        bucket = F.expr(
+            f"CAST((CAST(`{bcol}` AS BIGINT) * {n_buckets}) DIV {max(int(domain), 1)} AS INT)"
+        )
+        sorted_df = (
+            df.withColumn("_pid", bucket)
+            .repartition(num_partitions, "_pid")
+            .sortWithinPartitions("_pid", *order_cols)
+        )
+    else:
+        sorted_df = (
+            df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+            .sortWithinPartitions(*order_cols)
+            .withColumn("_pid", F.spark_partition_id())
+        )
     sorted_df.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(sorted_df)
     counts = dict(
@@ -120,19 +144,32 @@ def with_global_index(
     cols = [f.name for f in df.schema.fields]
 
     def assign(it):
-        # one task == one partition; batches arrive in partition order
-        pos = None
+        # one task == one partition; batches arrive in partition order. With
+        # bucket_by, a partition holds one or more whole buckets, sorted by
+        # (_pid, order_cols): detect bucket runs and restart at each bucket's
+        # offset. (Range mode is the single-run special case.)
+        import numpy as np
+
+        cur, pos = None, 0
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            if pos is None:
-                pos = offsets[int(pdf["_pid"].iloc[0])]
-            n = len(pdf)
+            pids = pdf["_pid"].to_numpy()
+            idx = np.empty(len(pdf), dtype=np.int64)
+            starts = np.flatnonzero(
+                np.concatenate(([True], pids[1:] != pids[:-1]))
+            )
+            for i, s in enumerate(starts):
+                e = starts[i + 1] if i + 1 < len(starts) else len(pdf)
+                b = int(pids[s])
+                if b != cur:
+                    cur, pos = b, offsets[b]
+                idx[s:e] = np.arange(pos, pos + (e - s))
+                pos += e - s
             out = pdf[cols].copy()
-            out[out_col] = range(pos, pos + n)
+            out[out_col] = idx
             if keep_pid:
                 out["_pid"] = pdf["_pid"].values
-            pos += n
             yield out
 
     result = sorted_df.mapInPandas(assign, schema=out_schema)
