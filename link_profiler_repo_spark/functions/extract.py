@@ -92,6 +92,7 @@ def parse_links(base_url: str, spans: list) -> list[dict]:
     """
     out: list[dict] = []
     pos = 0
+    seen_hrefs: set[str] = set()  # per-page (src,dst) pair dedup, see LINK.first
     ordered = sorted(spans, key=lambda s: _f(s, "offset", 3))
     for s in ordered:
         if _f(s, "kind", 0) != "text":
@@ -120,8 +121,10 @@ def parse_links(base_url: str, spans: list) -> list[dict]:
                     "context_text": _context_text(text, m.start(), m.end(), anchor),
                     "pos": pos,
                     "from_tag": "a",
+                    "first": full not in seen_hrefs,
                 }
             )
+            seen_hrefs.add(full)
             pos += 1
         cm = CANONICAL_RE.search(text)
         if cm:
@@ -136,8 +139,10 @@ def parse_links(base_url: str, spans: list) -> list[dict]:
                         "context_text": "",  # link_extractor.py:72 (canonical rows)
                         "pos": pos,
                         "from_tag": "link",
+                        "first": full not in seen_hrefs,
                     }
                 )
+                seen_hrefs.add(full)
                 pos += 1
     return out
 

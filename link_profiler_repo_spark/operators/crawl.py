@@ -401,16 +401,18 @@ class CrawlEngine:
                     F.col("l.context_text").alias("context_text"),
                     F.col("l.pos").alias("pos"),
                     F.col("l.from_tag").alias("from_tag"),
+                    F.col("l.first").alias("first"),
                 )
             )
             links.persist()
 
             # edges: (src,dst) dedup == within-page first occurrence, because a
-            # page is crawled exactly once (crawl_service.py:95-116 Redis pair set)
-            we = Window.partitionBy("src", "dst").orderBy("pos")
+            # page is crawled exactly once (crawl_service.py:95-116 Redis pair
+            # set). The extraction UDF marks first occurrences per page
+            # (LINK.first), so this is a filter — no (src,dst) shuffle of the
+            # widest frame in the loop (anchor/context strings).
             edges_new = (
-                links.withColumn("_rn", F.row_number().over(we))
-                .filter(F.col("_rn") == 1)
+                links.filter(F.col("first"))
                 .select(
                     "src", "dst",
                     url_host("src").alias("src_host"),
@@ -848,14 +850,14 @@ class CrawlEngine:
                     F.col("l.rel").alias("rel"), F.col("l.link_type").alias("link_type"),
                     F.col("l.context_text").alias("context_text"),
                     F.col("l.pos").alias("pos"), F.col("l.from_tag").alias("from_tag"),
+                    F.col("l.first").alias("first"),
                 )
             )
             links.persist()
 
-            we = Window.partitionBy("src", "dst").orderBy("pos")
+            # shuffle-free (src,dst) dedup — see the BFS site above
             edges_new = (
-                links.withColumn("_rn", F.row_number().over(we))
-                .filter(F.col("_rn") == 1)
+                links.filter(F.col("first"))
                 .select(
                     "src", "dst", url_host("src").alias("src_host"),
                     url_host("dst").alias("dst_host"),

@@ -38,6 +38,10 @@ LINK = T.StructType(
         T.StructField("context_text", T.StringType(), True),  # models.py:350, link_extractor.py:111-132
         T.StructField("pos", T.IntegerType(), False),  # document order, 0-based
         T.StructField("from_tag", T.StringType(), False),  # 'a' | 'link'
+        # within-page first occurrence of href; a page is crawled exactly
+        # once per run, so this IS the global (src,dst) pair dedup
+        # (crawl_service.py:95-116 Redis SADD) computed shuffle-free
+        T.StructField("first", T.BooleanType(), False),
     ]
 )
 
