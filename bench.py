@@ -272,7 +272,11 @@ def _crawl_throughput_inprocess(cores: int) -> dict:
     n_docs = int(os.environ.get("BENCH_CRAWL_DOCS", "100000"))
     max_pages = int(os.environ.get("BENCH_CRAWL_PAGES", "30000"))
     n_seeds = int(os.environ.get("BENCH_CRAWL_SEEDS", "4000"))
-    spark = get_spark(app=f"crawl-bench-{cores}", cores=cores, shuffle_partitions=32)
+    evdir = tempfile.mkdtemp(prefix="bench_evlog_crawl_")
+    spark = get_spark(
+        app=f"crawl-bench-{cores}", cores=cores, shuffle_partitions=32,
+        extra={"spark.eventLog.enabled": "true", "spark.eventLog.dir": evdir},
+    )
     try:
         p = SynthParams(n_docs=n_docs, n_hosts=200)
         cfg = CrawlConfig(job_id=f"bench-{cores}", max_depth=4, max_pages=max_pages)
@@ -289,9 +293,10 @@ def _crawl_throughput_inprocess(cores: int) -> dict:
         seeds = [
             page_url(*doc_index_to_host_page(i, p)) for i in range(0, n_docs, stride)
         ]
+        t0_ms = time.time() * 1000
         out = eng.run_bfs(seeds)
         st = out["stats"]
-        return {
+        res = {
             "cores": cores,
             "docs": n_docs,
             "pages_crawled": st.crawled,
@@ -302,6 +307,29 @@ def _crawl_throughput_inprocess(cores: int) -> dict:
         }
     finally:
         spark.stop()
+    # task-CPU + packing from the event log (same machinery as the kernel
+    # rounds) so a wall-time swing in a future round is attributable from
+    # the artifact alone: flat cpu_s + lower packing = host contention;
+    # higher cpu_s = a real added cost.
+    try:
+        tm = _task_metrics(evdir, t0_ms)
+    except Exception:
+        tm = {"cpu_s": None, "run_s": None}
+    finally:
+        import shutil
+
+        shutil.rmtree(evdir, ignore_errors=True)
+    res["task_cpu_seconds"] = tm["cpu_s"]
+    res["task_run_seconds"] = tm["run_s"]
+    if tm["run_s"] and res["seconds"]:
+        # crawl waves have driver-side barriers between Spark jobs, so
+        # packing sits well under 1 by design; it is a contention signal
+        # only when compared across rounds at the same workload. NOTE:
+        # cpu_s is JVM Executor CPU Time only — time a task spends blocked
+        # on the Python/Arrow extraction worker counts in run_s but not
+        # cpu_s (observed ~56 cpu_s vs ~610 run_s at the default workload)
+        res["packing"] = round(tm["run_s"] / (cores * res["seconds"]), 3)
+    return res
 
 
 def main() -> None:
