@@ -88,6 +88,10 @@ class CrawlEngine:
         compact_every: int = 0,
         seen_layout: str = "delta",
         metrics_enabled: bool = True,
+        broadcast_wave_max: int = 2_000_000,
+        corpus_broadcast_ratio: int = 50,
+        docs_layout: str = "inmem",
+        docs_buckets: int = 32,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -119,6 +123,32 @@ class CrawlEngine:
         # the accumulated side (sources/bucketed.py; the 10^10-scale layout)
         self.seen_layout = seen_layout
         self.metrics_enabled = metrics_enabled
+        # Fetch-join strategy (driver-known cardinalities pick the plan):
+        #   docs_layout='bucketed': corpus persisted ONCE as a
+        #     bucketBy(doc_buckets, doc_id) table (Iceberg bucket-transform
+        #     equivalent); per-epoch joins exchange only the wave — the
+        #     10^10 layout, plan-locked in tests.
+        #   docs_layout='inmem' (default): corpus is a caller-persisted
+        #     DataFrame. A wave <= broadcast_wave_max rows is broadcast
+        #     against a streamed corpus scan when the corpus outnumbers the
+        #     wave by corpus_broadcast_ratio (the regime where re-shuffling
+        #     the corpus loses); comparable-size corpora (local bench: 3x
+        #     the wave) measure FASTER under the plain shuffle join, so the
+        #     ratio gate keeps that plan where it wins.
+        self.broadcast_wave_max = broadcast_wave_max
+        self.corpus_broadcast_ratio = corpus_broadcast_ratio
+        self.docs_layout = docs_layout
+        self._n_docs: int | None = None
+        self._docs_table = None
+        if docs_layout == "bucketed":
+            from ..sources.bucketed import BucketedSeenTable
+
+            self._docs_table = BucketedSeenTable(
+                spark,
+                name=f"docs_{cfg.job_id}".replace("-", "_"),
+                buckets=docs_buckets,
+                key="doc_id",
+            )
         # step-wall profiling (CRAWL_PROF=1): {epoch: {step: seconds}}; the
         # _step job descriptions are always set (negligible cost, driver-side)
         self._prof: dict | None = {} if os.environ.get("CRAWL_PROF") else None
@@ -185,6 +215,68 @@ class CrawlEngine:
             )
             pages = pages.filter(size <= F.lit(self.cfg.max_content_chars))
         return pages.select(*cols)
+
+    def _fetch_join(self, wave: DataFrame, n_wave: int) -> DataFrame:
+        """'Fetch' a ranked wave: join it against the docs corpus and attach
+        the deterministic status_code.
+
+        Scale contract: never move the corpus per epoch. The plan is chosen
+        from driver-known cardinalities (wave counts are exact by this
+        point):
+
+        - 'bucketed' corpus layout: plain left join against the
+          bucketBy(doc_id) table — only the wave side exchanges, the corpus
+          reads co-located and pre-sorted (zero Exchange, zero Sort on the
+          big side; plan-locked in tests). The 10^10 design point.
+        - in-memory corpus, corpus >> wave (ratio gate): inner join with the
+          wave broadcast, corpus streamed through the BHJ probe with zero
+          Exchange. Misses (dangling URLs -> 404) can't come out of the
+          inner join, so they are recovered wave-side: wave ANTI hit-urls,
+          both wave-sized broadcasts.
+        - otherwise: Spark's own shuffle join (LeftOuter can only build the
+          docs side, so both sides exchange) — measured fastest when corpus
+          and wave are comparable sizes, where 'protecting' the corpus from
+          a shuffle buys nothing.
+        """
+        if self._docs_table is not None:
+            if not getattr(self, "_docs_table_ready", False):
+                # one-time corpus materialization in bucket layout (the
+                # Iceberg-ingest step); replaces any stale table from a
+                # previous run of the same job_id
+                self._docs_table.init(self.docs)
+                self._docs_table_ready = True
+            docs = self._docs_table.df()
+            return (
+                wave.join(docs, wave["url"] == docs["doc_id"], "left")
+                .withColumn("status_code", self._status_col())
+            )
+        docs = self.docs
+        if self._n_docs is None:
+            self._n_docs = docs.count()  # cached corpus: cheap, once per run
+        if (
+            n_wave > self.broadcast_wave_max
+            or self._n_docs < self.corpus_broadcast_ratio * max(n_wave, 1)
+        ):
+            return (
+                wave.join(docs, wave["url"] == docs["doc_id"], "left")
+                .withColumn("status_code", self._status_col())
+            )
+        hit = (
+            docs.join(F.broadcast(wave), docs["doc_id"] == wave["url"], "inner")
+            .select(*[wave[c] for c in wave.columns], *[docs[c] for c in docs.columns])
+        )
+        # cached so the miss anti-join's broadcast materialization is the ONE
+        # corpus scan of the epoch; released at the epoch unpersist barrier
+        hit.persist()
+        track_persist(hit)
+        miss = wave.join(
+            F.broadcast(hit.select(F.col("url").alias("_hit_url"))),
+            F.col("url") == F.col("_hit_url"),
+            "left_anti",
+        )
+        for fld in docs.schema.fields:
+            miss = miss.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+        return hit.unionByName(miss).withColumn("status_code", self._status_col())
 
     def _status_col(self) -> F.Column:
         """Deterministic fetch outcome, mirroring synth.fetch_status: flaky
@@ -364,12 +456,9 @@ class CrawlEngine:
             if n_elig > cut:
                 ranked = ranked.filter(F.col("crawl_idx") < F.lit(cut))
 
-            # 'fetch' = join against docs; at test scale the wave side is small
-            # so Spark broadcasts it (runtime bloom/DPP prunes the docs scan).
-            fetched = (
-                ranked.withColumn("crawl_order", F.col("crawl_idx") + F.lit(crawled))
-                .join(self.docs, ranked["url"] == self.docs["doc_id"], "left")
-                .withColumn("status_code", self._status_col())
+            fetched = self._fetch_join(
+                ranked.withColumn("crawl_order", F.col("crawl_idx") + F.lit(crawled)),
+                n_crawled_wave,
             )
             fetched.persist()
 
@@ -821,10 +910,9 @@ class CrawlEngine:
             crawlable = issued_idx.filter(F.col("depth") < F.lit(cfg.max_depth))
             ordered, n_crawl = with_global_index(crawlable, ["wave_idx"], "crawl_idx", small=small)
 
-            fetched = (
-                ordered.withColumn("crawl_order", F.col("crawl_idx") + F.lit(crawled))
-                .join(self.docs, ordered["url"] == self.docs["doc_id"], "left")
-                .withColumn("status_code", self._status_col())
+            fetched = self._fetch_join(
+                ordered.withColumn("crawl_order", F.col("crawl_idx") + F.lit(crawled)),
+                n_crawl,
             )
             fetched.persist()
 

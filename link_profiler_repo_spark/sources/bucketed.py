@@ -21,10 +21,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class BucketedSeenTable:
-    def __init__(self, spark: SparkSession, name: str = "seen_bucketed", buckets: int = 64):
+    """Bucketed state table; `key` defaults to the seen-set's url_hash, and
+    the same layout serves any key-clustered big side of a per-epoch join
+    (e.g. the docs corpus bucketed on doc_id for the fetch join)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str = "seen_bucketed",
+        buckets: int = 64,
+        key: str = "url_hash",
+    ):
         self.spark = spark
         self.name = name
         self.buckets = buckets
+        self.key = key
 
     def exists(self) -> bool:
         return self.spark.catalog.tableExists(self.name)
@@ -32,8 +43,8 @@ class BucketedSeenTable:
     def init(self, seen: DataFrame) -> None:
         (
             seen.write.mode("overwrite")
-            .bucketBy(self.buckets, "url_hash")
-            .sortBy("url_hash")
+            .bucketBy(self.buckets, self.key)
+            .sortBy(self.key)
             .format("parquet")
             .saveAsTable(self.name)
         )
@@ -48,7 +59,7 @@ class BucketedSeenTable:
 
     def anti_join(self, candidates: DataFrame, key: str = "url_hash") -> DataFrame:
         """candidates minus seen; only the candidate side shuffles."""
-        return candidates.join(self.df().select("url_hash"), on=key, how="left_anti")
+        return candidates.join(self.df().select(self.key), on=key, how="left_anti")
 
     def drop(self) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.name}")

@@ -35,6 +35,44 @@ def test_bucketed_seen_layout_matches_oracle(spark):
         docs_df.unpersist()
 
 
+def test_bucketed_docs_layout_matches_oracle(spark):
+    """docs_layout='bucketed': corpus persisted once as a bucketBy(doc_id)
+    table; every epoch's fetch join must produce the identical crawl."""
+    cfg = CrawlConfig(job_id="docsbucketed", max_depth=3, max_pages=300)
+    docs, seeds = build_fixture(P, n_seeds=2)
+    expected = simulate_bfs(docs, seeds, cfg, P)
+    docs_df = synth_docs_spark(spark, P).persist()
+    eng = CrawlEngine(
+        spark, cfg, docs_df, tempfile.mkdtemp(), synth_params=P,
+        use_bloom=False, docs_layout="bucketed", metrics_enabled=False,
+    )
+    try:
+        out = eng.run_bfs(seeds)
+        assert _order(out) == expected.order
+        assert {r[1] for r in _order(out)} == expected.seen
+    finally:
+        if eng._docs_table is not None:
+            eng._docs_table.drop()
+        docs_df.unpersist()
+
+
+def test_broadcast_fetch_join_matches_oracle(spark):
+    """corpus_broadcast_ratio=0 forces the broadcast-wave fetch path (inner
+    join + wave-side 404 recovery); must be semantically invisible."""
+    cfg = CrawlConfig(job_id="bcastfetch", max_depth=3, max_pages=300)
+    docs, seeds = build_fixture(P, n_seeds=2)
+    expected = simulate_bfs(docs, seeds, cfg, P)
+    docs_df = synth_docs_spark(spark, P).persist()
+    eng = CrawlEngine(
+        spark, cfg, docs_df, tempfile.mkdtemp(), synth_params=P,
+        use_bloom=False, corpus_broadcast_ratio=0, metrics_enabled=False,
+    )
+    out = eng.run_bfs(seeds)
+    assert _order(out) == expected.order
+    assert {r[1] for r in _order(out)} == expected.seen
+    docs_df.unpersist()
+
+
 def test_compaction_matches_oracle(spark):
     docs, seeds = build_fixture(P, n_seeds=2)
     expected = simulate_bfs(docs, seeds, CFG_C, P)

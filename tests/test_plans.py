@@ -126,3 +126,31 @@ def test_per_host_topk_rank_pushdown(spark):
 
     partials = re.findall(r"WindowGroupLimit.*Partial", plan)
     assert partials, f"no Partial-mode WindowGroupLimit before the exchange:\n{plan[:2000]}"
+
+
+def test_bucketed_docs_fetch_join_exchanges_only_the_wave(spark):
+    """docs_layout='bucketed' scale contract: the per-epoch fetch join must
+    read the corpus co-located and pre-sorted — exactly ONE shuffle Exchange
+    (the wave side) and at most one Sort (the wave side; the bucketed scan's
+    sortBy order covers the corpus side)."""
+    from link_profiler_repo_spark.sources.bucketed import BucketedSeenTable
+    from link_profiler_repo_spark.synth import SynthParams, synth_docs_spark
+
+    p = SynthParams(n_docs=200, n_hosts=6)
+    t = BucketedSeenTable(spark, name="docs_plan_test", buckets=8, key="doc_id")
+    t.init(synth_docs_spark(spark, p))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        wave = spark.range(0, 50).select(
+            F.concat(F.lit("http://h000.test/p/"), F.col("id")).alias("url")
+        )
+        j = wave.join(t.df(), F.col("url") == F.col("doc_id"), "left")
+        plan = physical_plan(j)
+        n_shuffle_ex = plan.count("+- Exchange") + plan.count(":- Exchange")
+        assert n_shuffle_ex == 1, plan
+        n_sort = plan.count("+- Sort") + plan.count(":- Sort")
+        assert n_sort <= 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        t.drop()
