@@ -32,6 +32,14 @@ def main() -> None:
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--job-id", default="job-0")
+    ap.add_argument(
+        "--docs-layout", choices=["inmem", "bucketed"], default="inmem",
+        help="'bucketed' persists the corpus once as a bucketBy(doc_id) "
+        "table so per-epoch fetch joins exchange only the wave (the "
+        "10^10-corpus layout); 'inmem' keeps the corpus as a cached "
+        "DataFrame and picks broadcast vs shuffle per wave",
+    )
+    ap.add_argument("--docs-buckets", type=int, default=32)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -48,6 +56,7 @@ def main() -> None:
     eng = CrawlEngine(
         spark, cfg, docs.persist(), args.workdir, synth_params=p,
         robots_df=robots_spark(spark, p),
+        docs_layout=args.docs_layout, docs_buckets=args.docs_buckets,
     )
     seeds = [u for _, u, _ in default_seeds(p, args.seeds)]
     out = eng.run_bfs(seeds, resume=args.resume) if args.mode == "bfs" else eng.run_scheduler(seeds, resume=args.resume)
