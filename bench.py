@@ -367,7 +367,11 @@ def main() -> None:
     # executors behave.
     n_low = int(os.environ.get("BENCH_N_CORES", "2"))
     n_high = n_low * 4
-    rounds = int(os.environ.get("BENCH_ROUNDS", "6"))
+    # 8 rounds: on a contended afternoon 6 rounds can contain zero quiet
+    # windows at the (long) lo level, understating the raw best-of
+    # estimator; two extra rounds materially raise the odds of at least one
+    # per level while keeping the kernel section under ~30 min
+    rounds = int(os.environ.get("BENCH_ROUNDS", "8"))
     low = high = None
     per_round = []
     for _ in range(rounds):
