@@ -52,6 +52,16 @@ from .order import track_persist, unpersist_all, with_global_index
 _FRONTIER_COLS = ["url", "url_hash", "xx64", "host", "depth", "wave_seq"]
 
 
+def _submit(pool, fn, *args, **kw):
+    """Dispatch an independent sink write to the epoch's thread pool (Spark
+    job submission is thread-safe; concurrently-submitted jobs share the
+    executor slots), or run it inline when concurrency is off."""
+    if pool is None:
+        fn(*args, **kw)
+        return None
+    return pool.submit(fn, *args, **kw)
+
+
 @dataclass
 class CrawlStats:
     """Mixed scopes on resume, by design: epochs/crawled are CUMULATIVE over
@@ -92,6 +102,7 @@ class CrawlEngine:
         corpus_broadcast_ratio: int = 50,
         docs_layout: str = "inmem",
         docs_buckets: int = 32,
+        concurrent_sinks: bool = True,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -138,6 +149,12 @@ class CrawlEngine:
         self.broadcast_wave_max = broadcast_wave_max
         self.corpus_broadcast_ratio = corpus_broadcast_ratio
         self.docs_layout = docs_layout
+        # overlap the epoch's independent sink writes (seen, edges) with the
+        # candidate pipeline: Spark's scheduler runs concurrently-submitted
+        # jobs whenever slots are free, and the writes only scan this wave's
+        # persisted caches, so the driver barrier between them is pure
+        # serialization. False = strict sequential (A/B + safety valve).
+        self.concurrent_sinks = concurrent_sinks
         self._n_docs: int | None = None
         self._docs_table = None
         if docs_layout == "bucketed":
@@ -379,6 +396,17 @@ class CrawlEngine:
         return self._with_keys(df).withColumn("depth", F.lit(0)).select(*_FRONTIER_COLS)
 
     def run_bfs(self, seeds: list[str], resume: bool = False) -> dict:
+        from concurrent.futures import ThreadPoolExecutor
+
+        cfg, spark, store = self.cfg, self.spark, self.store
+        pool = ThreadPoolExecutor(max_workers=2) if self.concurrent_sinks else None
+        try:
+            return self._run_bfs(seeds, resume, pool)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=True)
+
+    def _run_bfs(self, seeds: list[str], resume: bool, pool) -> dict:
         cfg, spark, store = self.cfg, self.spark, self.store
         t0 = time.monotonic()
 
@@ -467,7 +495,14 @@ class CrawlEngine:
                 F.lit(epoch).alias("epoch"),
             )
             self._step(epoch, "fetch_join+seen_write")
-            store.write_epoch("seen", epoch, seen_delta, coalesce=1 if small else None)
+            # independent sink: overlaps with extraction + the candidate
+            # pipeline below (they share the fetched/links caches — Spark's
+            # per-block cache locks serialize any concurrent fill); joined
+            # before the metrics step
+            fut_seen = _submit(
+                pool, store.write_epoch, "seen", epoch, seen_delta,
+                coalesce=1 if small else None,
+            )
 
             pages = self._pages_for_extraction(
                 fetched, ["url", "wave_seq", "crawl_idx", "depth", "spans"]
@@ -512,7 +547,10 @@ class CrawlEngine:
                 )
             )
             self._step(epoch, "extract+edges_write")
-            store.write_epoch("edges", epoch, edges_new, coalesce=1 if small else None)
+            fut_edges = _submit(
+                pool, store.write_epoch, "edges", epoch, edges_new,
+                coalesce=1 if small else None,
+            )
 
             # children admission (enqueue checks, crawl_service.py:595-601):
             cand = links.filter(F.col("from_tag") == "a").select(
@@ -559,6 +597,12 @@ class CrawlEngine:
             # append, a cache eviction would recompute them against a table
             # that already contains this wave's own rows
             self._step(epoch, "metrics")
+            # join the overlapped sinks: their files must exist before the
+            # epoch commits (resume contract) and before unpersist releases
+            # the caches they scan
+            for fut in (fut_seen, fut_edges):
+                if fut is not None:
+                    fut.result()
             self._log_metrics(epoch, [("crawled", fetched), ("scheduled", nxt)])
             if self._bucketed is not None:
                 # append AFTER all of this wave's anti-join consumers ran —
@@ -749,6 +793,23 @@ class CrawlEngine:
         max_epochs: int = 10_000,
         collect_waves: bool = False,
     ) -> dict:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=2) if self.concurrent_sinks else None
+        try:
+            return self._run_scheduler(seeds, resume, max_epochs, collect_waves, pool)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=True)
+
+    def _run_scheduler(
+        self,
+        seeds: list[str],
+        resume: bool,
+        max_epochs: int,
+        collect_waves: bool,
+        pool,
+    ) -> dict:
         cfg, spark, store = self.cfg, self.spark, self.store
         t0 = time.monotonic()
 
@@ -921,7 +982,11 @@ class CrawlEngine:
                 F.lit(epoch).alias("epoch"),
             )
             self._step(epoch, "fetch_join+seen_write")
-            store.write_epoch("seen", epoch, seen_delta, coalesce=1 if small else None)
+            # independent sink, overlapped as in the BFS loop
+            fut_seen = _submit(
+                pool, store.write_epoch, "seen", epoch, seen_delta,
+                coalesce=1 if small else None,
+            )
 
             pages = self._pages_for_extraction(
                 fetched, ["url", "wave_idx", "depth", "spans"]
@@ -955,7 +1020,10 @@ class CrawlEngine:
                 )
             )
             self._step(epoch, "extract+edges_write")
-            store.write_epoch("edges", epoch, edges_new, coalesce=1 if small else None)
+            fut_edges = _submit(
+                pool, store.write_epoch, "edges", epoch, edges_new,
+                coalesce=1 if small else None,
+            )
 
             # new candidates: admission-dedup vs 'enqueued' state + robots/domain
             cand = (
@@ -1058,6 +1126,11 @@ class CrawlEngine:
             bloom = self._bloom_insert(bloom, cand.select("xx64"))
             if bloom is not None:
                 store.write_bloom(epoch, bloom)
+            # join the overlapped sinks before commit/unpersist (resume
+            # contract: a committed epoch's files all exist)
+            for fut in (fut_seen, fut_edges):
+                if fut is not None:
+                    fut.result()
             self._log_metrics(epoch, [("crawled", fetched), ("scheduled", nxt)])
 
             crawled += n_crawl
