@@ -102,7 +102,7 @@ class CrawlEngine:
         corpus_broadcast_ratio: int = 50,
         docs_layout: str = "inmem",
         docs_buckets: int = 32,
-        concurrent_sinks: bool = True,
+        concurrent_sinks: bool = False,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -149,11 +149,17 @@ class CrawlEngine:
         self.broadcast_wave_max = broadcast_wave_max
         self.corpus_broadcast_ratio = corpus_broadcast_ratio
         self.docs_layout = docs_layout
-        # overlap the epoch's independent sink writes (seen, edges) with the
-        # candidate pipeline: Spark's scheduler runs concurrently-submitted
-        # jobs whenever slots are free, and the writes only scan this wave's
-        # persisted caches, so the driver barrier between them is pure
-        # serialization. False = strict sequential (A/B + safety valve).
+        # True = overlap the epoch's independent sink writes (seen, edges)
+        # with the candidate pipeline via a 2-thread pool (Spark job
+        # submission is thread-safe; concurrently-submitted jobs share
+        # executor slots). Off by default: on a fully-packed local[32] the
+        # write job races the pipeline to FILL the shared fetched/links
+        # caches and can recompute the extraction lineage — a 3-round
+        # interleaved A/B at the 30k-page bench point measured +9-19%
+        # task-CPU in 2 of 3 rounds with no reliable wall win. Opt in on a
+        # real multi-executor cluster where the driver barrier between the
+        # sink write and the admission pipeline leaves executors idle (and
+        # prefer materializing the wave cache before enabling).
         self.concurrent_sinks = concurrent_sinks
         self._n_docs: int | None = None
         self._docs_table = None
