@@ -1,12 +1,16 @@
 """URL helpers: canonicalization modes (P13) and host/path extraction parity
 between the Catalyst expressions and the pandas fallback."""
 
+from itertools import product
+from urllib.parse import urlparse
+
 import pandas as pd
 import pyspark.sql.functions as F
 
 from link_profiler_repo_spark.functions.urls import (
     canonicalize,
     canonicalize_py,
+    canonicalize_str,
     internal_external,
     is_valid_http_url,
     url_host,
@@ -51,6 +55,50 @@ def test_host_and_validity(spark):
     assert rows[0]["h"] == "Example.COM:80"  # netloc as urlparse returns it
     assert rows[3]["h"] == "user@h.test:8080"
     assert [r["v"] for r in rows] == [True] * len(URLS) + [False, False]
+
+
+def _combinatorial_urls() -> list[str]:
+    """Adversarial corpus: full product of scheme x host x port x path x
+    fragment features plus degenerate forms. Exercises every branch of the
+    canonicalization regexes across three regex engines (Java/Catalyst,
+    Python re, pandas)."""
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
+    hosts = ["example.com", "Example.COM", "user@Host.test", "127.0.0.1", "host.test."]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/Path/Page", "//double/slash", "/p?q=1&x="]
+    frags = ["", "#frag", "#a#b", "#", "#http://decoy:80/x"]
+    urls = [
+        f"{s}://{h}{p}{path}{f}"
+        for s, h, p, path, f in product(schemes, hosts, ports, paths, frags)
+    ]
+    urls += ["http://", "http:///only/path", "https://#frag", "http://h#f", "not-a-url"]
+    return urls
+
+
+def test_canonicalize_three_way_parity(spark):
+    """The engine (Catalyst regex), the oracle sims (canonicalize_str — the
+    ONE identity rule the scheduler-parity tests depend on, ADVICE r03 #5),
+    and the driver-side pandas fallback must canonicalize identically on the
+    full combinatorial corpus; full mode must also be idempotent."""
+    urls = _combinatorial_urls()
+    df = spark.createDataFrame([(u,) for u in urls], schema="url string")
+    for mode in ("identity", "full"):
+        got = [
+            r["c"] for r in df.select(canonicalize("url", mode).alias("c")).collect()
+        ]
+        scalar = [canonicalize_str(u, mode) for u in urls]
+        assert got == scalar, f"Catalyst vs scalar twin diverged (mode={mode})"
+        assert canonicalize_py(pd.Series(urls), mode).tolist() == scalar
+        assert [canonicalize_str(c, mode) for c in scalar] == scalar  # idempotent
+
+
+def test_url_host_matches_urlparse(spark):
+    """url_host (Catalyst netloc regex) == urllib.parse.urlparse().netloc for
+    every corpus URL that carries a scheme://netloc part."""
+    urls = [u for u in _combinatorial_urls() if "://" in u]
+    df = spark.createDataFrame([(u,) for u in urls], schema="url string")
+    got = [r["h"] for r in df.select(url_host("url").alias("h")).collect()]
+    assert got == [urlparse(u).netloc for u in urls]
 
 
 def test_internal_external(spark):
