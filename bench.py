@@ -259,6 +259,25 @@ def _crawl_throughput_inprocess(cores: int) -> dict:
     2-25 RPS per instance (PRODUCTION_UPGRADE_GUIDE.md:126)."""
     import tempfile
 
+    n_docs = int(os.environ.get("BENCH_CRAWL_DOCS", "100000"))
+    max_pages = int(os.environ.get("BENCH_CRAWL_PAGES", "30000"))
+    n_seeds = int(os.environ.get("BENCH_CRAWL_SEEDS", "4000"))
+    evdir = tempfile.mkdtemp(prefix="bench_evlog_crawl_")
+    try:
+        return _crawl_throughput_evlogged(cores, n_docs, max_pages, n_seeds, evdir)
+    finally:
+        # remove the event log even when the crawl itself raises (a failed
+        # bench run otherwise leaks a multi-MB log per attempt in /tmp)
+        import shutil
+
+        shutil.rmtree(evdir, ignore_errors=True)
+
+
+def _crawl_throughput_evlogged(
+    cores: int, n_docs: int, max_pages: int, n_seeds: int, evdir: str
+) -> dict:
+    import tempfile
+
     from link_profiler_repo_spark.config import CrawlConfig
     from link_profiler_repo_spark.operators.crawl import CrawlEngine
     from link_profiler_repo_spark.session import get_spark
@@ -269,10 +288,6 @@ def _crawl_throughput_inprocess(cores: int) -> dict:
         synth_docs_spark,
     )
 
-    n_docs = int(os.environ.get("BENCH_CRAWL_DOCS", "100000"))
-    max_pages = int(os.environ.get("BENCH_CRAWL_PAGES", "30000"))
-    n_seeds = int(os.environ.get("BENCH_CRAWL_SEEDS", "4000"))
-    evdir = tempfile.mkdtemp(prefix="bench_evlog_crawl_")
     spark = get_spark(
         app=f"crawl-bench-{cores}", cores=cores, shuffle_partitions=32,
         extra={"spark.eventLog.enabled": "true", "spark.eventLog.dir": evdir},
@@ -316,10 +331,6 @@ def _crawl_throughput_inprocess(cores: int) -> dict:
         tm = _task_metrics(evdir, t0_ms)
     except Exception:
         tm = {"cpu_s": None, "run_s": None}
-    finally:
-        import shutil
-
-        shutil.rmtree(evdir, ignore_errors=True)
     res["task_cpu_seconds"] = tm["cpu_s"]
     res["task_run_seconds"] = tm["run_s"]
     if tm["run_s"] and res["seconds"]:

@@ -113,11 +113,11 @@ def main() -> None:
         )
         st = res["stats"]
         out.update(crawled=st.crawled, scheduled=st.scheduled, epochs=st.epochs)
-        # a crawl that yields no edges sets no profiles/history keys — emit 0
-        # counts instead of KeyError (ADVICE r03)
-        out["profiles"] = res["profiles"].count() if res.get("profiles") is not None else 0
-        out["history_snapshots"] = res["history"].count() if res.get("history") is not None else 0
-        if res.get("health") is not None:
+        # the job always sets profiles/history (typed empty frames on a
+        # zero-edge crawl — count 0, no KeyError; ADVICE r03)
+        out["profiles"] = res["profiles"].count()
+        out["history_snapshots"] = res["history"].count()
+        if "health" in res:  # full_seo_audit only
             out["health_rows"] = res["health"].count()
     elif args.job_type == "serp_analysis":
         df = run_job(args.job_type, spark, read("documents"), args.keyword,
@@ -131,8 +131,19 @@ def main() -> None:
         from link_profiler_repo_spark.operators.keywords import doc_keywords
 
         kws = doc_keywords(read("documents"))
-        tgt = args.target if args.target.startswith("d") else "d0"
-        cps = comps if all(c.startswith("d") for c in comps) else ["d1", "d2", "d3"]
+        # doc_keywords domains are d0..d15; the argparse defaults are host
+        # names for the OTHER job types, so map defaults to the synthetic
+        # domains — but never silently substitute user-supplied values
+        # (a wrong-domain answer with rc=0 is worse than an error)
+        defaults = ap.get_default("target"), ap.get_default("competitors").split(",")
+        tgt = "d0" if args.target == defaults[0] else args.target
+        cps = ["d1", "d2", "d3"] if comps == defaults[1] else comps
+        have = {r["domain"] for r in kws.select("domain").distinct().collect()}
+        missing = [d for d in [tgt, *cps] if d not in have]
+        if missing:
+            print(json.dumps({"error": f"domains not in keywords table: {missing}",
+                              "available": sorted(have)}))
+            sys.exit(2)
         df = run_job(args.job_type, spark, kws, tgt, cps)
         out["missing_keywords"] = df.count()
         out["rows"] = sample(df.orderBy(F.desc("n_competitors"), "keyword"))

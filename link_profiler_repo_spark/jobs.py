@@ -28,13 +28,14 @@ def backlink_discovery(spark: SparkSession, docs_df, seeds, cfg: CrawlConfig,
         synth_params=p, **engine_kw,
     )
     out = eng.run_bfs(seeds) if mode == "bfs" else eng.run_scheduler(seeds)
-    if out["edges"] is not None:
-        out["profiles"] = full_link_profile(out["edges"])
-        # DomainHistory snapshots (core/models.py:740-762): one pass over the
-        # edge log, not per-epoch loop aggregation
-        from .operators.history import domain_history_from_edges
+    # _outputs guarantees typed (possibly empty) DataFrames, never None — a
+    # zero-edge crawl flows through as empty profiles/history, count 0
+    out["profiles"] = full_link_profile(out["edges"])
+    # DomainHistory snapshots (core/models.py:740-762): one pass over the
+    # edge log, not per-epoch loop aggregation
+    from .operators.history import domain_history_from_edges
 
-        out["history"] = domain_history_from_edges(out["edges"])
+    out["history"] = domain_history_from_edges(out["edges"])
     return out
 
 
@@ -60,8 +61,7 @@ def full_seo_audit(spark: SparkSession, docs_df, seeds, cfg, **kw):
     """crawl_service.py:977-1029: sequential composition — crawl, then the
     analytics tail over its outputs."""
     out = backlink_discovery(spark, docs_df, seeds, cfg, **kw)
-    if out["edges"] is not None:
-        out["health"] = link_health_audit(spark, out["edges"], out["seen"])
+    out["health"] = link_health_audit(spark, out["edges"], out["seen"])
     return out
 
 

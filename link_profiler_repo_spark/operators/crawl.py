@@ -175,7 +175,7 @@ class CrawlEngine:
         # step-wall profiling (CRAWL_PROF=1): {epoch: {step: seconds}}; the
         # _step job descriptions are always set (negligible cost, driver-side)
         self._prof: dict | None = {} if os.environ.get("CRAWL_PROF") else None
-        self._prof_last: tuple[str, float] | None = None
+        self._prof_last: tuple[str, float, int] | None = None
         self._bucketed = None
         if seen_layout == "bucketed":
             from ..sources.bucketed import BucketedSeenTable
@@ -365,12 +365,15 @@ class CrawlEngine:
         the previous step's wall in per-epoch stats when profiling is on)."""
         now = time.monotonic()
         if self._prof is not None:
-            prev_label, prev_t = self._prof_last or (None, now)
+            # record the elapsed wall under the epoch that ISSUED the
+            # finished step (an epoch's closing step otherwise lands in the
+            # next epoch's bucket — the exact misattribution profiling is
+            # meant to rule out)
+            prev_label, prev_t, prev_epoch = self._prof_last or (None, now, epoch)
             if prev_label is not None:
-                self._prof.setdefault(epoch, {})[prev_label] = round(
-                    self._prof.setdefault(epoch, {}).get(prev_label, 0.0)
-                    + (now - prev_t), 3)
-            self._prof_last = (label, now)
+                ep = self._prof.setdefault(prev_epoch, {})
+                ep[prev_label] = round(ep.get(prev_label, 0.0) + (now - prev_t), 3)
+            self._prof_last = (label, now, epoch)
         self.spark.sparkContext.setJobDescription(f"epoch {epoch}: {label}")
 
     def _log_metrics(self, epoch: int, stages: list[tuple[str, DataFrame]]) -> None:
@@ -404,7 +407,6 @@ class CrawlEngine:
     def run_bfs(self, seeds: list[str], resume: bool = False) -> dict:
         from concurrent.futures import ThreadPoolExecutor
 
-        cfg, spark, store = self.cfg, self.spark, self.store
         pool = ThreadPoolExecutor(max_workers=2) if self.concurrent_sinks else None
         try:
             return self._run_bfs(seeds, resume, pool)
@@ -1061,6 +1063,13 @@ class CrawlEngine:
             # wired into admission (VERDICT r01 #7; frontier.py:57-89)
             from .frontier import priority_score, score_to_priority
 
+            # the W4 error-rate input re-reads THIS epoch's seen delta from
+            # the store — an overlapped write of it must be joined first (an
+            # in-flight table is absent or partially written: wrong
+            # priorities, order diverging from the oracle sim)
+            if fut_seen is not None:
+                fut_seen.result()
+                fut_seen = None
             cur_seen = store.read_deltas(spark, "seen", epoch)
             host_err = (
                 cur_seen.select(url_host("url").alias("host"), "status_code")

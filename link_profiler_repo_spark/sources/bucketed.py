@@ -57,9 +57,11 @@ class BucketedSeenTable:
     def df(self) -> DataFrame:
         return self.spark.table(self.name)
 
-    def anti_join(self, candidates: DataFrame, key: str = "url_hash") -> DataFrame:
-        """candidates minus seen; only the candidate side shuffles."""
-        return candidates.join(self.df().select(self.key), on=key, how="left_anti")
+    def anti_join(self, candidates: DataFrame) -> DataFrame:
+        """candidates minus seen, on this table's own bucket key (a caller-
+        supplied key different from the bucket column would defeat the
+        bucketed-scan plan anyway); only the candidate side shuffles."""
+        return candidates.join(self.df().select(self.key), on=self.key, how="left_anti")
 
     def drop(self) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.name}")
