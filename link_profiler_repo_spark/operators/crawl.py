@@ -1158,6 +1158,7 @@ class CrawlEngine:
             unpersist_all()
             frontier = store.read_epoch(spark, "frontier_sched", epoch)
 
+        self._step(epoch, "end")  # flush the last step's wall into prof
         self.stats.epochs = epoch
         self.stats.crawled = crawled
         self.stats.wall_seconds = time.monotonic() - t0
