@@ -1584,6 +1584,50 @@ FROM f
 SPARK_QUERIES["technical_audit"] = q_technical_audit
 SQL_ORACLES["technical_audit"] = SQL_TECHNICAL_AUDIT
 
+
+_GATE_CDX_PATH = f"/tmp/spark_graft_gate_cdx_{os.getpid()}"
+
+
+def q_cdx_search(spark, sf_dir):
+    """Common Crawl CDX source (SURVEY S6, clients/common_crawl_client.py:
+    100-190) rendered offline: the deterministic CDX fixture is written as
+    NDJSON shards (the format CC actually publishes per index), read back
+    schema-on-read, then the API's domain query (apex + subdomains via the
+    SURT prefix pair) with inclusive date bounds and latest-capture-per-
+    urlkey dedup runs as one DataFrame plan. DuckDB re-reads the same NDJSON
+    bytes and re-derives the match, bounds, and window independently; the
+    SURT computation itself is golden-tested in tests/test_cdx.py."""
+    from .sources.cdx import cdx_search, latest_captures, read_cdxj, synth_cdx_spark
+
+    synth_cdx_spark(spark, n_domains=12, pages_per_domain=10).coalesce(1).write.mode(
+        "overwrite"
+    ).json(_GATE_CDX_PATH)
+    cdx = read_cdxj(spark, _GATE_CDX_PATH)
+    hits = cdx_search(
+        cdx, "d1.example", "domain", from_date="2023-02-01", to_date="2023-12-31"
+    )
+    return latest_captures(hits).select("urlkey", "url", "timestamp", "status")
+
+
+SQL_CDX_SEARCH = f"""
+WITH c AS (
+  SELECT urlkey, "timestamp", url, status
+  FROM read_ndjson('{_GATE_CDX_PATH}/*.json', columns={{
+    'urlkey': 'VARCHAR', 'timestamp': 'VARCHAR', 'url': 'VARCHAR',
+    'mime': 'VARCHAR', 'status': 'VARCHAR', 'digest': 'VARCHAR',
+    'length': 'VARCHAR', 'offset': 'VARCHAR', 'filename': 'VARCHAR'}})
+  WHERE (urlkey LIKE 'example,d1)%' OR urlkey LIKE 'example,d1,%')
+    AND "timestamp" >= '20230201000000' AND "timestamp" <= '20231231999999'
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY urlkey ORDER BY "timestamp" DESC) rn
+  FROM c
+)
+SELECT urlkey, url, "timestamp" AS timestamp, status FROM r WHERE rn = 1
+"""
+
+SPARK_QUERIES["cdx_search"] = q_cdx_search
+SQL_ORACLES["cdx_search"] = SQL_CDX_SEARCH
+
 ROWS_ONLY_QUERIES = {
     "crawl_bfs_order": q_crawl_bfs_order,
     "crawl_scheduler_order": q_crawl_scheduler_order,
