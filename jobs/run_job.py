@@ -53,6 +53,8 @@ def main() -> None:
     ap.add_argument("--competitors", default="h001.test,h002.test",
                     help="comma-separated competitor hosts/domains")
     ap.add_argument("--urls", default=None, help="comma-separated audit URL list")
+    ap.add_argument("--report-format", default="json", help="json | html (xlsx/pdf stubbed)")
+    ap.add_argument("--out", default=None, help="report output path")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -202,6 +204,17 @@ def main() -> None:
         df = run_job(args.job_type, spark, pages, urls)
         out["audited"] = df.count()
         out["rows"] = sample(df.orderBy("n_issues", "url"))
+    elif args.job_type == "report_generation":
+        edges, _ = crawl_outputs()
+        # the synthetic fallback's targets are crawl URLs, not --target's
+        # host default — report every target unless one is explicitly given
+        tgt = args.target if args.target != ap.get_default("target") else None
+        path = args.out or tempfile.mkdtemp(prefix="report_") + "/report"
+        df = run_job(args.job_type, spark, edges, target_url=tgt,
+                     fmt=args.report_format, path=path)
+        out["targets"] = df.count()
+        out["report_path"] = path
+        out["format"] = args.report_format
     else:  # unreachable while JOB_TYPES and the branches above stay in sync
         print(json.dumps({"error": f"--type {args.job_type} has no runner branch"}))
         return 2

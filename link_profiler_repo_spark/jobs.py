@@ -125,6 +125,25 @@ def technical_audit_job(spark: SparkSession, pages, urls=None, **kw):
     return technical_audit(pages, urls, **kw)
 
 
+def report_generation_job(spark: SparkSession, edges, target_url: str | None = None,
+                          fmt: str = "json", path: str | None = None, **kw):
+    """crawl_service.py:260-263 _run_report_generation_job -> ReportService
+    (report_service.py:79-313): assemble the per-target link-profile report
+    rows (summary + top anchors/domains + pinned-order backlink sample) from
+    a stored edge table, optionally filtered to one target, and export
+    (json distributed / html driver-side; xlsx-pdf stubbed — libs absent)."""
+    import pyspark.sql.functions as F
+
+    from .operators.reports import export_report, link_profile_report
+
+    rep = link_profile_report(edges, **kw)
+    if target_url:
+        rep = rep.filter(F.col("target_url") == target_url)
+    if path:
+        export_report(rep, path, fmt)
+    return rep
+
+
 JOB_TYPES = {
     "backlink_discovery": backlink_discovery,
     "link_health_audit": link_health_audit,
@@ -137,6 +156,7 @@ JOB_TYPES = {
     "content_gap_analysis": content_gap_job,
     "prospect_identification": prospect_identification_job,
     "technical_audit": technical_audit_job,
+    "report_generation": report_generation_job,
 }
 
 

@@ -179,3 +179,50 @@ def test_domain_history_producer_and_latest(spark):
         ).collect()
     }
     assert latest == {"t.test": 3, "u.test": 2}
+
+
+def test_link_profile_report_golden(spark, tmp_path):
+    """S11 report assembly (report_service.py:115-200 sections) on the edge
+    fixture: summary == the A1 rollup, top-k maps, pinned-order sample; JSON
+    export distributed, HTML renders, xlsx/pdf raise the documented stub."""
+    import json
+    import os
+
+    import pytest
+
+    from link_profiler_repo_spark.operators.reports import (
+        export_report,
+        link_profile_report,
+    )
+
+    rep = link_profile_report(_edges(spark))
+    rows = {r["target_url"]: r for r in rep.collect()}
+    x = rows["http://t.test/x"]
+    assert x["summary"]["total_backlinks"] == 4
+    assert x["summary"]["unique_referring_domains"] == 3
+    assert x["summary"]["dofollow_backlinks"] == 2
+    assert x["top_anchors"]["hello"] == 3
+    assert x["top_referring_domains"]["a.test"] == 2
+    # deterministic lexicographic sample order
+    assert [s["source_url"] for s in x["sample_backlinks"]] == [
+        "http://a.test/1", "http://a.test/2", "http://b.test/1", "http://c.test/1",
+    ]
+    assert x["sample_backlinks"][0]["link_type"] == "dofollow"
+
+    jdir = str(tmp_path / "rep_json")
+    export_report(rep, jdir, "json")
+    loaded = [
+        json.loads(line)
+        for f in os.listdir(jdir) if f.endswith(".json")
+        for line in open(os.path.join(jdir, f))
+    ]
+    assert {r["target_url"] for r in loaded} == set(rows)
+
+    html = str(tmp_path / "rep.html")
+    export_report(rep, html, "html")
+    text = open(html).read()
+    assert "http://t.test/x" in text and "<table" in text
+
+    for stub_fmt in ("xlsx", "pdf"):
+        with pytest.raises(NotImplementedError):
+            export_report(rep, str(tmp_path / f"rep.{stub_fmt}"), stub_fmt)
