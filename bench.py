@@ -604,6 +604,11 @@ def main() -> None:
         "seconds": crawl["seconds"],
         "pages_per_sec": crawl["pages_per_sec"],
         "sample_seconds": crawl["sample_seconds"],
+        # task-CPU + packing per sample so a wall swing in the recorded
+        # artifact is attributable on its own: flat cpu at a higher wall =
+        # host contention, higher cpu = a real added cost (VERDICT r03 #4)
+        "sample_task_cpu_s": [c.get("task_cpu_seconds") for c in crawl_samples],
+        "sample_packing": [c.get("packing") for c in crawl_samples],
     }
     print(json.dumps(compact))
 
