@@ -205,14 +205,22 @@ def main() -> None:
         out["audited"] = df.count()
         out["rows"] = sample(df.orderBy("n_issues", "url"))
     elif args.job_type == "report_generation":
+        from link_profiler_repo_spark.operators.reports import export_report
+
         edges, _ = crawl_outputs()
         # the synthetic fallback's targets are crawl URLs, not --target's
         # host default — report every target unless one is explicitly given
+        # (a URL or a host; the job filter matches either)
         tgt = args.target if args.target != ap.get_default("target") else None
+        df = run_job(args.job_type, spark, edges, target_url=tgt).persist()
+        n = df.count()
+        if tgt and n == 0:
+            print(json.dumps({"error": f"--target {tgt!r} matches no profiled "
+                                       "target URL or host in the edge table"}))
+            return 2
         path = args.out or tempfile.mkdtemp(prefix="report_") + "/report"
-        df = run_job(args.job_type, spark, edges, target_url=tgt,
-                     fmt=args.report_format, path=path)
-        out["targets"] = df.count()
+        export_report(df, path, args.report_format)  # reuses the cached rows
+        out["targets"] = n
         out["report_path"] = path
         out["format"] = args.report_format
     else:  # unreachable while JOB_TYPES and the branches above stay in sync

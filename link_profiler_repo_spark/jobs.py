@@ -134,11 +134,18 @@ def report_generation_job(spark: SparkSession, edges, target_url: str | None = N
     (json distributed / html driver-side; xlsx-pdf stubbed — libs absent)."""
     import pyspark.sql.functions as F
 
+    from .functions.urls import url_host
     from .operators.reports import export_report, link_profile_report
 
     rep = link_profile_report(edges, **kw)
     if target_url:
-        rep = rep.filter(F.col("target_url") == target_url)
+        # accept a full target URL or a host (the reference's
+        # report_target_identifier is a URL; every other job type here takes
+        # hosts — match either, never silently report the wrong thing)
+        rep = rep.filter(
+            (F.col("target_url") == target_url)
+            | (url_host(F.col("target_url")) == target_url)
+        )
     if path:
         export_report(rep, path, fmt)
     return rep

@@ -373,7 +373,9 @@ class CrawlEngine:
             if prev_label is not None:
                 ep = self._prof.setdefault(prev_epoch, {})
                 ep[prev_label] = round(ep.get(prev_label, 0.0) + (now - prev_t), 3)
-            self._prof_last = (label, now, epoch)
+            # 'end' closes a run — a later resumed run on the same engine
+            # must not book the inter-run idle wall into this run's profile
+            self._prof_last = None if label == "end" else (label, now, epoch)
         self.spark.sparkContext.setJobDescription(f"epoch {epoch}: {label}")
 
     def _log_metrics(self, epoch: int, stages: list[tuple[str, DataFrame]]) -> None:
@@ -784,7 +786,7 @@ class CrawlEngine:
             out["prof"] = self._prof
         for name, schema in (
             ("seen", schemas.SEEN),
-            ("edges", schemas.EDGES),
+            ("edges", schemas.EDGES_STORED),
             ("metrics", schemas.METRICS),
             ("dead_letter", schemas.DEAD_LETTER),
         ):

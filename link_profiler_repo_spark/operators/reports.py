@@ -72,10 +72,11 @@ def export_report(report: DataFrame, path: str, fmt: str = "json", max_rows: int
     """Serialize report rows. 'json' is distributed (one shard per partition,
     the S12 sink pattern). 'html' renders at the driver via pandas — reports
     are per-target rows, so the driver transfer is bounded by max_rows (a
-    guard, not a scale path; export JSON for bulk). 'xlsx'/'pdf' assemble the
-    identical pandas frame, then raise NotImplementedError at the render
-    call: openpyxl/reportlab are absent in this sandbox (reference layouts
-    at report_service.py:96-213, :215-313)."""
+    guard, not a scale path; export JSON for bulk). 'xlsx' renders via
+    pandas.to_excel when openpyxl is available and raises NotImplementedError
+    otherwise (it is absent in this sandbox). 'pdf' assembles the identical
+    frame then always raises: the ReportLab layout (report_service.py:96-213)
+    is presentation work out of scope here."""
     if fmt == "json":
         report.write.mode("overwrite").json(path)
         return path

@@ -85,6 +85,23 @@ EDGES = T.StructType(
     ]
 )
 
+# The edge table AS STORED by the crawl loops: EDGES plus the per-edge
+# analytics surface (_edge_analytics_cols — discovered_at/http_status/
+# spam_level) inserted before the epoch stamp. _outputs' typed-empty
+# substitute must use THIS shape: downstream consumers
+# (domain_history_from_edges, edge quality filters) aggregate the analytics
+# columns, so a zero-edge crawl with the narrower EDGES schema raised
+# UNRESOLVED_COLUMN instead of flowing through as empty.
+EDGES_STORED = T.StructType(
+    [f for f in EDGES.fields if f.name != "epoch"]
+    + [
+        T.StructField("discovered_at", T.TimestampType(), True),
+        T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("spam_level", T.StringType(), True),
+        T.StructField("epoch", T.IntegerType(), True),
+    ]
+)
+
 ROBOTS = T.StructType(
     [
         T.StructField("host", T.StringType(), False),

@@ -126,10 +126,10 @@ def cdx_search(
         out = out.filter(F.col("timestamp") >= lo)
     if hi:
         out = out.filter(F.col("timestamp") <= hi)
-    if fields:
+    if fields is not None:
         out = out.select(*fields)
-    if limit:
-        out = out.limit(limit)
+    if limit is not None:
+        out = out.limit(limit)  # limit=0 means zero rows, like the API
     return out
 
 
@@ -174,6 +174,10 @@ def synth_cdx_spark(
     even pages, status/mime varied by arithmetic on the ids — the offline
     stand-in for the API's simulated fallback records
     (common_crawl_client.py:173-190), minus the randomness."""
+    if not 1 <= captures_per_page <= 4:
+        # captures land 3 months apart (01/04/07/10); more would overflow
+        # into invalid month 13+
+        raise ValueError("captures_per_page must be 1..4")
     n = n_domains * pages_per_domain * captures_per_page
     r = spark.range(n)
     cap = F.col("id") % captures_per_page

@@ -62,15 +62,25 @@ def test_prefix_exact_and_date_bounds(spark):
         "http://d2.example/page1.html"
     }
     exact = cdx_search(cdx, "http://d2.example/page1.html", "exact")
-    assert exact.count() == 3  # every capture of exactly that URL
-    # inclusive YYYYMMDD bounds, dashes stripped like the reference client
+    # every capture of exactly that URL: months 01/04/07, day = 1 + page%27
+    assert sorted(r["timestamp"] for r in exact.collect()) == [
+        "20230102120000", "20230402120000", "20230702120000",
+    ]
+    # inclusive bounds, dashes stripped like the reference client: a window
+    # around April keeps exactly the April capture
     bounded = cdx_search(
         cdx, "http://d2.example/page1.html", "exact",
-        from_date="2023-04-01", to_date="20230401",
+        from_date="2023-04-01", to_date="20230403",
     )
-    assert [r["timestamp"] for r in bounded.collect()] == ["20230402120000"] or (
-        bounded.count() <= 1
+    assert [r["timestamp"] for r in bounded.collect()] == ["20230402120000"]
+    # boundary inclusivity: a degenerate window equal to the capture instant
+    instant = cdx_search(
+        cdx, "http://d2.example/page1.html", "exact",
+        from_date="20230402120000", to_date="20230402120000",
     )
+    assert instant.count() == 1
+    # limit=0 is zero rows (API semantics), not "unlimited"
+    assert cdx_search(cdx, "d2.example", "domain", limit=0).count() == 0
     cdx.unpersist()
 
 

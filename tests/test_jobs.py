@@ -240,3 +240,22 @@ def test_run_job_dispatcher_every_type(spark, tmp_path, capsys, monkeypatch):
         assert rc in (0, None), (jt, out)
         assert "error" not in out, (jt, out)
         assert out["job_type"] == jt
+
+
+def test_zero_edge_crawl_flows_through_empty(spark, tmp_path):
+    """A crawl that yields nothing (empty seeds) must flow through the
+    profile/history/health tails as typed empty frames, count 0 — the
+    stored-edge schema (EDGES_STORED, analytics columns included) is what
+    the empty substitute must carry, or domain_history_from_edges raises
+    UNRESOLVED_COLUMN on spam_level/discovered_at."""
+    p = SynthParams(n_docs=40, n_hosts=4)
+    docs = synth_docs_spark(spark, p)
+    cfg = CrawlConfig(job_id="zero", max_depth=2, max_pages=10)
+    res = run_job(
+        "full_seo_audit", spark, docs, [], cfg,
+        workdir=str(tmp_path / "wd0"), p=p, use_bloom=False, metrics_enabled=False,
+    )
+    assert res["profiles"].count() == 0
+    assert res["history"].count() == 0
+    assert res["health"].count() == 0
+    assert res["stats"].crawled == 0

@@ -223,6 +223,14 @@ def test_link_profile_report_golden(spark, tmp_path):
     text = open(html).read()
     assert "http://t.test/x" in text and "<table" in text
 
-    for stub_fmt in ("xlsx", "pdf"):
+    # xlsx/pdf raise the documented stub only when their render lib is
+    # absent (this sandbox ships neither; xlsx legitimately renders when
+    # openpyxl exists, so the assertion tracks availability)
+    stub_fmts = ["pdf"]
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        stub_fmts.append("xlsx")
+    for stub_fmt in stub_fmts:
         with pytest.raises(NotImplementedError):
             export_report(rep, str(tmp_path / f"rep.{stub_fmt}"), stub_fmt)
