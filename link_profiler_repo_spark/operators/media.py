@@ -35,23 +35,74 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+# real container magic bytes, so format sniffing over the synthetic corpus is
+# non-vacuous: each payload carries a genuine PNG/JPEG/GIF header chosen
+# deterministically by the ref's crc32
+MAGIC = {
+    "png": b"\x89PNG\r\n\x1a\n",
+    "jpeg": b"\xff\xd8\xff\xe0",
+    "gif": b"GIF89a",
+}
+
+
 def media_table_from_docs(docs: DataFrame) -> DataFrame:
     """Explode media spans into a media table with a deterministic synthetic
-    payload (sha256 of the ref, repeated) standing in for encoded bytes."""
+    payload — a real container magic header (format picked by crc32(ref) % 3)
+    followed by sha256-of-ref bytes standing in for encoded image data."""
     refs = docs.select(
         F.col("doc_id"),
         F.explode(
             F.filter("spans", lambda s: s["kind"] == F.lit("media"))
         ).alias("s"),
     ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    fmt = F.crc32(F.col("media_ref")) % 3
+    magic = (
+        F.when(fmt == 0, F.lit(MAGIC["png"]))
+        .when(fmt == 1, F.lit(MAGIC["jpeg"]))
+        .otherwise(F.lit(MAGIC["gif"]))
+    )
     return refs.select(
         "doc_id",
         "media_ref",
         F.lit("image").alias("media_type"),
-        F.sha2(F.col("media_ref"), 256).cast("binary").alias("payload"),
+        F.concat(magic, F.sha2(F.col("media_ref"), 256).cast("binary")).alias("payload"),
         F.lit(64).alias("width"),
         F.lit(64).alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
+def sniff_format(payload_col) -> "F.Column":
+    """Container format from magic bytes, pure Catalyst (prefix compare over
+    the hex rendering — binary prefix tests whole-stage-codegen, no Python).
+    The non-decode half of media analysis: format identification needs only
+    the first bytes, never a codec."""
+    h = F.hex(payload_col)
+    return (
+        F.when(h.startswith("89504E470D0A1A0A"), F.lit("png"))
+        .when(h.startswith("FFD8FF"), F.lit("jpeg"))
+        .when(h.startswith("47494638"), F.lit("gif"))
+        .when(h.startswith("52494646"), F.lit("riff"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def media_meta(media: DataFrame) -> DataFrame:
+    """Non-decode media features, pure Catalyst over the opaque binary column
+    (VERDICT r04 next #3 — this half is DuckDB-expressible and SQL-oracled;
+    only codec decode stays stubbed): byte length, sniffed container format,
+    and content fingerprints. Fingerprints hash the HEX rendering of the
+    payload (not the raw bytes) because that is the form both engines hash
+    identically (DuckDB's md5/sha256 take VARCHAR only); at 100 TB this is
+    one projection over the scan — no shuffle, no Python."""
+    pay = F.col("payload")
+    return media.select(
+        "doc_id",
+        "media_ref",
+        F.length(pay).alias("byte_len"),
+        sniff_format(pay).alias("format"),
+        F.md5(F.hex(pay)).alias("md5_hex"),
+        F.sha2(F.hex(pay), 256).alias("sha256_hex"),
     )
 
 

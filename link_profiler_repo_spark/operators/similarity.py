@@ -30,29 +30,15 @@ def _cos(col_a, col_b):
     return dot / (na * nb)
 
 
-def brute_force_topk(
-    vectors: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    q_id_col: str = "q_id",
-    q_vec_col: str = "q_vec",
-    round_to: int | None = None,
-) -> DataFrame:
-    """Exact cosine top-k per query. queries is small -> broadcast cross join;
-    top-k via two-stage agg. Output: (q_id, vec_id, cosine, rank).
+def _topk_per_query(scored: DataFrame, k: int, round_to: int | None) -> DataFrame:
+    """(q_id, vec_id, cosine) -> per-query top-k via keyed
+    sort_array(collect_list) — a partial-agg-friendly two-stage agg, never a
+    global window. Shared by the brute-force and IVF paths.
 
     round_to=N makes the k-boundary cross-engine stable: candidates are ranked
     by (round(cosine, N) DESC, vec_id ASC) so two cosines that differ only past
     N decimals cannot yield different top-k membership in engines that
     accumulate the dot product in a different order."""
-    q = F.broadcast(queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")))
-    scored = vectors.crossJoin(q).select(
-        "q_id",
-        F.col(id_col).alias("vec_id"),
-        _cos(F.col(vec_col), F.col("q_vec")).alias("cosine"),
-    )
     if round_to is not None:
         # sort desc on (rounded cosine, -vec_id) == (rounded DESC, vec_id ASC)
         key = F.struct(
@@ -84,6 +70,27 @@ def brute_force_topk(
         F.col("t.cosine").alias("cosine"),
         (F.col("r") + 1).alias("rank"),
     )
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k per query. queries is small -> broadcast cross join;
+    top-k via two-stage agg. Output: (q_id, vec_id, cosine, rank)."""
+    q = F.broadcast(queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")))
+    scored = vectors.crossJoin(q).select(
+        "q_id",
+        F.col(id_col).alias("vec_id"),
+        _cos(F.col(vec_col), F.col("q_vec")).alias("cosine"),
+    )
+    return _topk_per_query(scored, k, round_to)
 
 
 def quantize_embeddings(
@@ -281,19 +288,39 @@ def ivf_topk(
         F.col(q_vec_col).alias("q_vec"),
         F.explode(top_cells_udf(centroids, nprobe)(F.col(q_vec_col))).alias("cell"),
     )
-    scored = assigned.join(F.broadcast(q), "cell").select(
+    return ivf_topk_from_cells(
+        assigned, q, k=k, vec_col=vec_col, id_col=id_col,
+        dedup_replicas=n_assign > 1,
+    )
+
+
+def ivf_topk_from_cells(
+    assigned: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "q_vec",
+    round_to: int | None = None,
+    dedup_replicas: bool = True,
+) -> DataFrame:
+    """The relational tail of IVF search, given the IVF STORAGE LAYOUT as
+    tables: `assigned` = (id, cell, vec) corpus cell assignments (what
+    assign_cells writes — at 100 TB this is the stored index, not a per-query
+    computation), `probes` = (q_id, cell, q_vec) with one row per probed cell
+    per query. Per-cell equi-join (broadcast — probes are tiny), exact cosine,
+    replica dedup (a pair co-resident in several cells scores identically —
+    max-collapse in the keyed agg), per-query top-k.
+
+    Split out of ivf_topk so the gate can export both tables to parquet and
+    have DuckDB re-derive this entire tail from the same bytes (the
+    ivf_blocked_pairs oracle pattern, VERDICT r04 next #1); only k-means
+    training + the cell-assignment UDF stay pytest-verified (recall gates)."""
+    scored = assigned.join(F.broadcast(probes), "cell").select(
         "q_id",
         F.col(id_col).alias("vec_id"),
-        _cos(F.col(vec_col), F.col("q_vec")).alias("cosine"),
+        _cos(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
     )
-    if n_assign > 1:  # a replica pair can match in several cells — dedup
-        scored = scored.dropDuplicates(["q_id", "vec_id"])
-    packed = scored.groupBy("q_id").agg(
-        F.slice(
-            F.sort_array(F.collect_list(F.struct("cosine", "vec_id")), asc=False), 1, k
-        ).alias("top")
-    )
-    return packed.select("q_id", F.posexplode("top").alias("r", "t")).select(
-        "q_id", F.col("t.vec_id").alias("vec_id"),
-        F.col("t.cosine").alias("cosine"), (F.col("r") + 1).alias("rank"),
-    )
+    if dedup_replicas:
+        scored = scored.groupBy("q_id", "vec_id").agg(F.max("cosine").alias("cosine"))
+    return _topk_per_query(scored, k, round_to)
