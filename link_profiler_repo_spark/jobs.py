@@ -164,6 +164,14 @@ JOB_TYPES = {
     "prospect_identification": prospect_identification_job,
     "technical_audit": technical_audit_job,
     "report_generation": report_generation_job,
+    # Deliberately NOT registered from the reference's 12-type dispatch
+    # (crawl_service.py:162, runners :1031-1134): "web3_crawl" and
+    # "social_media_crawl". Both are thin wrappers over external-API
+    # side-effect clients (web3_service / social_media_service HTTP calls)
+    # with no relational tail to re-express — the same non-goal class as S2
+    # (headless browser) and the LIVE half of S5 (whose recorded-response
+    # rendering IS in scope: sources/backlink_api.py). If recorded fixtures
+    # for those APIs existed, they'd follow the backlink_api pattern.
 }
 
 

@@ -1786,6 +1786,68 @@ SELECT urlkey, url, "timestamp" AS timestamp, status FROM r WHERE rn = 1
 SPARK_QUERIES["cdx_search"] = q_cdx_search
 SQL_ORACLES["cdx_search"] = SQL_CDX_SEARCH
 
+
+_GATE_BLAPI1_PATH = f"/tmp/spark_graft_gate_blapi1_{os.getpid()}"
+_GATE_BLAPI2_PATH = f"/tmp/spark_graft_gate_blapi2_{os.getpid()}"
+
+
+def q_backlink_api_merge(spark, sf_dir):
+    """S5 offline rendering (VERDICT r04 next #7, the S6 treatment): two
+    recorded backlink-API response batches (SimulatedBacklinkAPIClient
+    shapes, backlink_service.py:49-141) as schema-on-read NDJSON; batch 2
+    re-records a subset of (src, dst) pairs two months later with changed
+    anchors. Both engines normalize and run the newest-wins merge from the
+    same bytes."""
+    from .sources.backlink_api import (
+        api_backlink_edges,
+        merge_api_backlinks,
+        read_backlink_api,
+        synth_backlink_responses,
+    )
+
+    synth_backlink_responses(spark, 6, 8, "2024-01-01").coalesce(1).write.mode(
+        "overwrite"
+    ).json(_GATE_BLAPI1_PATH)
+    synth_backlink_responses(spark, 3, 8, "2024-03-01", anchor_salt=" v2").coalesce(
+        1
+    ).write.mode("overwrite").json(_GATE_BLAPI2_PATH)
+    stored = api_backlink_edges(read_backlink_api(spark, _GATE_BLAPI1_PATH))
+    batch = api_backlink_edges(read_backlink_api(spark, _GATE_BLAPI2_PATH))
+    return merge_api_backlinks(stored, batch)
+
+
+_BLAPI_NDJSON_COLS = (
+    "{'id': 'VARCHAR', 'source_url': 'VARCHAR', 'target_url': 'VARCHAR', "
+    "'anchor_text': 'VARCHAR', 'link_type': 'VARCHAR', 'context_text': 'VARCHAR', "
+    "'is_image_link': 'BOOLEAN', 'alt_text': 'VARCHAR', 'discovered_date': 'VARCHAR', "
+    "'last_seen_date': 'VARCHAR', 'authority_passed': 'DOUBLE', 'spam_level': 'VARCHAR'}"
+)
+_BLAPI_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+SQL_BACKLINK_API_MERGE = f"""
+WITH raw AS (
+  SELECT * FROM read_ndjson('{_GATE_BLAPI1_PATH}/*.json', columns={_BLAPI_NDJSON_COLS})
+  UNION ALL
+  SELECT * FROM read_ndjson('{_GATE_BLAPI2_PATH}/*.json', columns={_BLAPI_NDJSON_COLS})
+), e AS (
+  SELECT source_url AS src, target_url AS dst,
+         lower(regexp_extract(source_url, '{_BLAPI_HOST_RE}', 1)) AS src_host,
+         lower(regexp_extract(target_url, '{_BLAPI_HOST_RE}', 1)) AS dst_host,
+         anchor_text, link_type, context_text, spam_level, authority_passed,
+         CAST(last_seen_date AS TIMESTAMP) AS last_seen
+  FROM raw
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src, dst ORDER BY last_seen DESC) AS rn
+  FROM e
+)
+SELECT src, dst, src_host, dst_host, anchor_text, link_type, context_text,
+       spam_level, authority_passed, last_seen
+FROM ranked WHERE rn = 1
+"""
+
+SPARK_QUERIES["backlink_api_merge"] = q_backlink_api_merge
+SQL_ORACLES["backlink_api_merge"] = SQL_BACKLINK_API_MERGE
+
 SPARK_QUERIES["crawl_bfs_order"] = q_crawl_bfs_order
 SQL_ORACLES["crawl_bfs_order"] = SQL_CRAWL_BFS_ORDER
 SPARK_QUERIES["crawl_scheduler_order"] = q_crawl_scheduler_order

@@ -203,3 +203,44 @@ def test_flesch_matches_reference_transcription(spark):
     for i, t in enumerate(texts):
         assert abs(got[i] - ref_flesch(t)) < 1e-9, (i, got[i], ref_flesch(t))
     assert any(0.0 < got[i] < 100.0 for i in got), "need a mid-range case"
+
+
+def test_metrics_stream_foreachbatch_parquet_matches_memory(spark, tmp_path):
+    """The update-mode foreachBatch parquet sink (the scale-shaped streaming
+    path) converges to the same final window state as the complete-mode
+    memory-sink harness over the same files."""
+    from link_profiler_repo_spark.streaming.stream import (
+        run_metrics_stream_to_parquet,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:30", "fetch", 1.0),
+            ("2024-01-01 00:00:45", "fetch", 3.0),
+            ("2024-01-01 00:02:10", "dedup", 2.0),
+        ],
+        schema="ts string, event_type string, value double",
+    ).select(F.to_timestamp("ts").alias("ts"), "event_type", "value")
+    path = str(tmp_path / "events")
+    src.write.parquet(path)
+
+    mem = run_metrics_stream_once(
+        spark, path, schema, query_name="m_out2", window="1 minute", slide="1 minute"
+    )
+    pq = run_metrics_stream_to_parquet(
+        spark, path, schema,
+        out_path=str(tmp_path / "sink"), checkpoint=str(tmp_path / "ckpt"),
+        window="1 minute", slide="1 minute",
+    ).collect()
+    as_set = lambda rows: {  # noqa: E731
+        (str(r["window_start"]), r["event_type"], r["n"], r["mean_value"])
+        for r in rows
+    }
+    assert as_set(pq) == as_set(mem) and len(pq) > 0
