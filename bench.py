@@ -132,6 +132,135 @@ def ensure_frontier_input(spark) -> tuple[str, str]:
     return fdir, sdir
 
 
+DEDUP_PQ = os.environ.get("BENCH_DEDUP_PQ", "/dev/shm/bench_dedup_input")
+# 4 replicas (~20k docs / 8k vecs at sf0.1) keeps the whole dedup section
+# under ~8 min of the per-round bench budget while the pair joins still see
+# real near-dup groups; raise for standalone scaling studies
+DEDUP_REP = int(os.environ.get("BENCH_DEDUP_REP", "4"))
+
+
+def ensure_dedup_input(spark) -> tuple[str, str]:
+    """Materialize the dedup/ANN bench corpus ONCE (reused across
+    parallelism levels so both read identical bytes): the sf documents table
+    replicated DEDUP_REP x with a per-replica text suffix (replicas are
+    NEAR-duplicates — the workload LSH is built for, not degenerate exact
+    copies), and the embeddings table replicated with a small per-replica
+    additive shift."""
+    ddir = os.path.join(DEDUP_PQ, f"docs_x{DEDUP_REP}")
+    edir = os.path.join(DEDUP_PQ, f"emb_x{DEDUP_REP}")
+    if not os.path.isdir(ddir):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        r = spark.range(DEDUP_REP).select(F.col("id").alias("rep"))
+        (
+            docs.crossJoin(r)
+            .select(
+                (F.col("doc_id") * DEDUP_REP + F.col("rep")).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" replica"), F.col("rep")).alias("text"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(ddir)
+        )
+    if not os.path.isdir(edir):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        r = spark.range(DEDUP_REP).select(F.col("id").alias("rep"))
+        (
+            emb.crossJoin(r)
+            .select(
+                (F.col("vec_id") * DEDUP_REP + F.col("rep")).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: x + F.col("rep").cast("float") * 0.001
+                ).alias("embedding"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(edir)
+        )
+    return ddir, edir
+
+
+def _dedup_throughput_inprocess(cores: int) -> dict:
+    """One fresh-JVM sample of the dedup/ANN family at `cores` (VERDICT r04
+    next #5 — publish the family's throughput, not just the capped gate
+    rows): MinHash+LSH pairs, CDC partial-dup pairs, and IVF-blocked exact
+    cosine pairs, each forced by a count over the materialized corpus."""
+    from link_profiler_repo_spark.operators.dedup import (
+        ivf_blocked_cosine_pairs,
+        minhash_lsh_dup,
+        partial_dup_pairs,
+    )
+    from link_profiler_repo_spark.session import get_spark
+
+    spark = get_spark(
+        app=f"dedup-bench-{cores}", cores=cores, shuffle_partitions=cores * 2
+    )
+    ddir, edir = ensure_dedup_input(spark)
+    docs = spark.read.parquet(ddir)
+    emb = spark.read.parquet(edir)
+    n_docs, n_vecs = docs.count(), emb.count()
+    # JVM/codegen warmup outside the timed region
+    spark.range(1_000_000).select(F.sum("id")).collect()
+    out = {"cores": cores, "n_docs": n_docs, "n_vecs": n_vecs}
+    t0 = time.monotonic()
+    out["minhash_pairs"] = minhash_lsh_dup(docs, threshold=0.5).count()
+    w = time.monotonic() - t0
+    out["minhash_sec"] = round(w, 2)
+    out["minhash_docs_per_sec"] = int(n_docs / w)
+    t0 = time.monotonic()
+    out["cdc_pairs"] = partial_dup_pairs(docs, min_shared=3).count()
+    w = time.monotonic() - t0
+    out["cdc_sec"] = round(w, 2)
+    out["cdc_docs_per_sec"] = int(n_docs / w)
+    t0 = time.monotonic()
+    # matmul kernel = the throughput tier (per-cell BLAS; tested equal to the
+    # gate's bit-exact Catalyst tier to fp rounding)
+    out["ivf_pairs"] = ivf_blocked_cosine_pairs(
+        emb, threshold=0.85, assign_replicas=1, kernel="matmul"
+    ).count()
+    w = time.monotonic() - t0
+    out["ivf_sec"] = round(w, 2)
+    out["ivf_vecs_per_sec"] = int(n_vecs / w)
+    return out
+
+
+def dedup_family_bench(n_low: int, n_high: int, rounds: int = 2) -> dict:
+    """Interleaved lo/hi rounds (same protocol as the frontier kernel, lighter:
+    fresh CPU-PINNED subprocess per run, best-of across rounds per level) ->
+    per-op throughput at both parallelism levels + scaling ratio. Pinning
+    matters double for the UDF-heavy family: local[N] spawns N Python workers
+    ON TOP of N task threads, so an unpinned hi level oversubscribes the
+    shared microVM and measures the neighbors, not the ops (observed: 32
+    unpinned cores SLOWER than 8 on every op at load ~6)."""
+    import shutil
+    import subprocess
+
+    best = {n_low: None, n_high: None}
+    for _ in range(rounds):
+        for cores in (n_low, n_high):
+            cmd = [sys.executable, os.path.abspath(__file__), "--dedup", str(cores)]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+            s = json.loads(
+                subprocess.run(
+                    cmd, capture_output=True, text=True, check=True,
+                ).stdout.strip().splitlines()[-1]
+            )
+            b = best[cores]
+            if b is None or s["minhash_sec"] + s["cdc_sec"] + s["ivf_sec"] < (
+                b["minhash_sec"] + b["cdc_sec"] + b["ivf_sec"]
+            ):
+                best[cores] = s
+    lo, hi = best[n_low], best[n_high]
+    eff = {
+        op: round(
+            hi[f"{op}_{unit}_per_sec"] / lo[f"{op}_{unit}_per_sec"] / (n_high / n_low),
+            3,
+        )
+        for op, unit in (("minhash", "docs"), ("cdc", "docs"), ("ivf", "vecs"))
+    }
+    return {"lo": lo, "hi": hi, "efficiency": eff}
+
+
 def _task_metrics(evlog_dir: str, after_ms: float) -> dict:
     """Task-metric sums for stages submitted after `after_ms`, parsed from the
     Spark event log: cpu_s = Executor CPU Time (actual CPU-seconds — excludes
@@ -361,6 +490,7 @@ def main() -> None:
     # materialize the frontier-kernel input on the full machine so the pinned
     # 1-core subprocess doesn't pay generation cost
     ensure_frontier_input(spark)
+    ensure_dedup_input(spark)
     spark.stop()
 
     # N vs 4N scaling pair. The sandbox is a shared microVM with bursty host
@@ -508,6 +638,20 @@ def main() -> None:
     crawl["sample_seconds"] = [c["seconds"] for c in crawl_samples]
     qtimes["crawl_e2e"] = crawl["seconds"]
 
+    # dedup/ANN family throughput at two parallelism levels (VERDICT r04
+    # next #5): the gate rows cap MinHash/CDC input by declared budget;
+    # this publishes the uncapped operators' measured docs/s (and the IVF
+    # pair tier's vecs/s) over the replicated sf corpus
+    # 4 vs 16 cores (not 32): each UDF stage runs `cores` Python workers on
+    # top of the task threads, so hi=16 (16+16 runnable) is the largest level
+    # that still fits this 32-vCPU shared box under neighbor load — the same
+    # reasoning that keeps the frontier pair at 2/8
+    dedup_lo = int(os.environ.get("BENCH_DEDUP_LO", "4"))
+    dedup = dedup_family_bench(
+        dedup_lo, min(CPUS, dedup_lo * 4),
+        rounds=int(os.environ.get("BENCH_DEDUP_ROUNDS", "2")),
+    )
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result = {
         "metric": "headline query wall time (sum) at sf + frontier schedule+dedup epoch",
@@ -517,6 +661,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "frontier": frontier,
         "crawl": crawl,
+        "dedup": dedup,
     }
 
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
@@ -579,6 +724,25 @@ def main() -> None:
             "extraction machinery runs 10^2-10^3x faster than the "
             "reference's whole loop — a live deployment becomes fetch-bound, "
             "never scheduler-bound.\n\n"
+            "## Dedup / ANN family throughput (two parallelism levels)\n\n"
+            f"Corpus: sf{sf} documents x{DEDUP_REP} near-duplicate replicas "
+            f"({dedup['hi']['n_docs']:,} docs), embeddings x{DEDUP_REP} "
+            f"({dedup['hi']['n_vecs']:,} vectors); fresh subprocess per run, "
+            "interleaved lo/hi rounds, best-of per level.\n\n"
+            "| op | local[{lo}] | local[{hi}] | scaling eff |\n".format(
+                lo=dedup["lo"]["cores"], hi=dedup["hi"]["cores"]
+            )
+            + "|---|---|---|---|\n"
+            + "".join(
+                f"| {op} ({unit}/s, {dedup['hi'][f'{op}_pairs']:,} pairs) "
+                f"| {dedup['lo'][f'{op}_{unit}_per_sec']:,} "
+                f"| {dedup['hi'][f'{op}_{unit}_per_sec']:,} "
+                f"| {dedup['efficiency'][op]} |\n"
+                for op, unit in (
+                    ("minhash", "docs"), ("cdc", "docs"), ("ivf", "vecs"),
+                )
+            )
+            + "\n"
             f"Headline query times at sf{sf} (local[{CPUS}]):\n\n"
             + "\n".join(f"- {k}: {v}s" for k, v in qtimes.items())
             + "\n"
@@ -622,5 +786,7 @@ if __name__ == "__main__":
         print(json.dumps(_frontier_epoch_inprocess(int(sys.argv[2]))))
     elif len(sys.argv) >= 3 and sys.argv[1] == "--crawl":
         print(json.dumps(_crawl_throughput_inprocess(int(sys.argv[2]))))
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--dedup":
+        print(json.dumps(_dedup_throughput_inprocess(int(sys.argv[2]))))
     else:
         main()

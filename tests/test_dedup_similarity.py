@@ -300,3 +300,60 @@ def test_ivf_blocked_pairs_plan_is_per_cell_join(spark):
     assert joins, f"no cell-keyed equi-join in plan:\n{plan[:2000]}"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocked_pairs_matmul_equals_catalyst(spark):
+    """The BLAS tier (per-cell X@X.T in applyInPandas) emits the same pair
+    set as the bit-exact Catalyst fold, with cosines equal to fp rounding —
+    so the bench can publish the fast kernel while the gate oracles the
+    exact one."""
+    import numpy as np
+
+    from link_profiler_repo_spark.operators.dedup import (
+        blocked_cosine_pairs,
+        blocked_cosine_pairs_matmul,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(16)], int(i % 5))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>, cell int")
+    # threshold 0 => every within-cell pair emitted; boundary effects excluded
+    cat = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in blocked_cosine_pairs(
+            df, block_col="cell", threshold=-1.0
+        ).collect()
+    }
+    mm = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in blocked_cosine_pairs_matmul(
+            df, block_col="cell", threshold=-1.0
+        ).collect()
+    }
+    assert set(cat) == set(mm) and len(cat) == 5 * 40 * 39 // 2
+    assert all(abs(cat[k] - mm[k]) < 1e-9 for k in cat)
+
+
+def test_minhash_agree_kernels_identical(spark):
+    """numpy agree kernel (vectorized batch compare) emits identical integer
+    n_agree to the Catalyst fold — same pairs, same counts."""
+    from link_profiler_repo_spark.operators.dedup import (
+        minhash_pairs_from_sigs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = minhash_signatures(docs).persist()
+    key = lambda r: (r["a"], r["b"], r["n_agree"])  # noqa: E731
+    cat = {key(r) for r in minhash_pairs_from_sigs(sig, threshold=0.4).collect()}
+    np_ = {
+        key(r)
+        for r in minhash_pairs_from_sigs(
+            sig, threshold=0.4, agree_kernel="numpy"
+        ).collect()
+    }
+    sig.unpersist()
+    assert cat == np_ and len(cat) > 0
