@@ -1848,6 +1848,74 @@ FROM ranked WHERE rn = 1
 SPARK_QUERIES["backlink_api_merge"] = q_backlink_api_merge
 SQL_ORACLES["backlink_api_merge"] = SQL_BACKLINK_API_MERGE
 
+
+_GATE_RENDERED_PATH = f"/tmp/spark_graft_gate_rendered_{os.getpid()}"
+
+
+def q_rendered_snapshots(spark, sf_dir):
+    """S2 offline rendering (the S5/S6 treatment): recorded headless-browser
+    snapshots (web_crawler.py:196-259 _fetch_with_playwright output shape)
+    as schema-on-read NDJSON; anomaly detection (captcha/bot markers,
+    :232-240,255-261) and the DOM -> interleaved-span normalization are pure
+    Catalyst, so DuckDB re-derives flags, extracted media refs, and the span
+    interleave arity from the same recorded bytes. Only the browser process
+    itself stays outside the engine."""
+    from .sources.rendered import (
+        anomaly_flags,
+        read_rendered_snapshots,
+        rendered_to_docs,
+        synth_rendered_snapshots,
+    )
+
+    synth_rendered_snapshots(spark).coalesce(1).write.mode("overwrite").json(
+        _GATE_RENDERED_PATH
+    )
+    snaps = read_rendered_snapshots(spark, _GATE_RENDERED_PATH)
+    spans_side = rendered_to_docs(snaps).select(
+        F.col("doc_id").alias("url"),
+        F.size(
+            F.filter("spans", lambda s: s["kind"] == F.lit("text"))
+        ).alias("n_text_spans"),
+        F.array_join(
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == F.lit("media")),
+                lambda s: s["media_ref"],
+            ),
+            ",",
+        ).alias("media_refs"),
+    )
+    flag_side = snaps.select(
+        "url", "final_url", "status_code",
+        F.array_join(anomaly_flags(F.col("content")), ",").alias("flags"),
+    )
+    return flag_side.join(spans_side, "url")
+
+
+_RENDERED_NDJSON_COLS = (
+    "{'url': 'VARCHAR', 'final_url': 'VARCHAR', 'status_code': 'INTEGER', "
+    "'fetched_at': 'VARCHAR', 'content': 'VARCHAR', 'user_agent': 'VARCHAR'}"
+)
+
+SQL_RENDERED_SNAPSHOTS = f"""
+SELECT url, final_url, status_code,
+       concat_ws(',',
+         CASE WHEN lower(content) LIKE '%captcha%'
+                OR lower(content) LIKE '%verify you are human%'
+                OR lower(content) LIKE '%unusual traffic%'
+              THEN 'CAPTCHA_DETECTED' END,
+         CASE WHEN lower(content) LIKE '%bot%' OR lower(content) LIKE '%robot%'
+              THEN 'BOT_DETECTION_KEYWORDS' END) AS flags,
+       CAST(len(string_split_regex(content, '<img[^>]*?src="[^"]*"[^>]*?>'))
+            AS INT) AS n_text_spans,
+       COALESCE(array_to_string(
+         regexp_extract_all(content, '<img[^>]*?src="([^"]*)"[^>]*?>', 1), ','
+       ), '') AS media_refs
+FROM read_ndjson('{_GATE_RENDERED_PATH}/*.json', columns={_RENDERED_NDJSON_COLS})
+"""
+
+SPARK_QUERIES["rendered_snapshots"] = q_rendered_snapshots
+SQL_ORACLES["rendered_snapshots"] = SQL_RENDERED_SNAPSHOTS
+
 SPARK_QUERIES["crawl_bfs_order"] = q_crawl_bfs_order
 SQL_ORACLES["crawl_bfs_order"] = SQL_CRAWL_BFS_ORDER
 SPARK_QUERIES["crawl_scheduler_order"] = q_crawl_scheduler_order
