@@ -6,8 +6,12 @@ BASELINE.json input_hint), returning the crawl-order table.
 
 queries()/oracle_sql(): one entry per implemented operator class from
 SURVEY.md §2 over the harness parquet tables; SQL oracles run in DuckDB.
-Crawl-native operators (exact ordering, MinHash LSH, IVF ANN, media plumbing)
-are rows-only here — their exact oracles are the pytest equality suites.
+UDF-native operators (MinHash/CDC hashing, IVF assignment, crawl engines)
+export their intermediate tables to parquet inside the query so DuckDB
+re-derives the relational tail from the same bytes; the crawl-ordering rows
+export the Python reference simulator's order table the same way. The single
+rows-only entry is media_features (codec decode is sandbox-stubbed; its
+non-decode half is the SQL-oracled media_meta row).
 """
 
 from __future__ import annotations

@@ -133,10 +133,10 @@ def ensure_frontier_input(spark) -> tuple[str, str]:
 
 
 DEDUP_PQ = os.environ.get("BENCH_DEDUP_PQ", "/dev/shm/bench_dedup_input")
-# 4 replicas (~20k docs / 8k vecs at sf0.1) keeps the whole dedup section
-# under ~8 min of the per-round bench budget while the pair joins still see
-# real near-dup groups; raise for standalone scaling studies
-DEDUP_REP = int(os.environ.get("BENCH_DEDUP_REP", "4"))
+# 16 replicas (80k docs / 32k vecs at sf0.1): with the vectorized kernels the
+# per-op work (not fixed costs) dominates at both parallelism levels while
+# the whole section stays ~5-6 min of the per-round bench budget
+DEDUP_REP = int(os.environ.get("BENCH_DEDUP_REP", "16"))
 
 
 def ensure_dedup_input(spark) -> tuple[str, str]:

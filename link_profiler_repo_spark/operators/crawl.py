@@ -613,7 +613,17 @@ class CrawlEngine:
             for fut in (fut_seen, fut_edges):
                 if fut is not None:
                     fut.result()
-            self._log_metrics(epoch, [("crawled", fetched), ("scheduled", nxt)])
+            # count 'scheduled' from the epoch table WRITTEN two steps ago,
+            # not the live plan: nxt's lineage is the whole
+            # extraction->anti-join->rank->admission pipeline, and the
+            # partition-count job was re-running all of it per epoch (~10% of
+            # loop wall at the bench point); the stored table is one file scan
+            # with the same rows
+            self._log_metrics(
+                epoch,
+                [("crawled", fetched),
+                 ("scheduled", store.read_epoch(spark, "frontier", epoch))],
+            )
             if self._bucketed is not None:
                 # append AFTER all of this wave's anti-join consumers ran —
                 # spark.table() is lazy, so an earlier append would leak this
@@ -1148,7 +1158,12 @@ class CrawlEngine:
             for fut in (fut_seen, fut_edges):
                 if fut is not None:
                     fut.result()
-            self._log_metrics(epoch, [("crawled", fetched), ("scheduled", nxt)])
+            # stored-table count, not the live union plan (see BFS loop)
+            self._log_metrics(
+                epoch,
+                [("crawled", fetched),
+                 ("scheduled", store.read_epoch(spark, "frontier_sched", epoch))],
+            )
 
             crawled += n_crawl
             store.commit({"epoch": epoch, "crawled": crawled, "seq": seq_counter, "mode": "sched"})
