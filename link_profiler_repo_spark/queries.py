@@ -1935,3 +1935,138 @@ ROWS_ONLY_QUERIES = {
     # stays rows-only — decode is sandbox-stubbed; its non-decode features
     # are the SQL-oracled media_meta row.)
 }
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over near-dup pair graphs
+# (operators/components.py — large-star/small-star; no reference counterpart,
+# part of the added LLM-training-pipeline family)
+# ---------------------------------------------------------------------------
+
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters: connected components over the exact
+    blocked-cosine pair graph (the embedding_pairs detector) plus a
+    deterministic 41-node chain graft that forces multi-hop transitivity —
+    the case a pairwise detector alone cannot resolve and min-label
+    propagation is slowest on. DuckDB independently re-derives the pair
+    graph from the raw embeddings table and computes components with a
+    recursive-CTE closure — no exported intermediates, the strongest oracle
+    form."""
+    from .operators.components import dedup_clusters
+    from .operators.dedup import blocked_cosine_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    pairs = blocked_cosine_pairs(e, threshold=0.3).select("a", "b")
+    chain = spark.range(40).select(
+        (F.col("id") + 10_000_000).alias("a"),
+        (F.col("id") + 10_000_001).alias("b"),
+    )
+    return dedup_clusters(pairs.union(chain))
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        >= 0.3
+  UNION ALL
+  SELECT i + 10000000, i + 10000001 FROM range(0, 40) t(i)
+),
+sym AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v != r.u
+)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+"""
+
+
+def q_corpus_dedup_keep(spark, sf_dir):
+    """The corpus-build composition a training pipeline runs end-to-end:
+    documents + (exact content-hash pairs UNION word-3-gram Jaccard pairs)
+    -> transitive clusters -> keep exactly one canonical doc per cluster
+    (min doc_id; unpaired docs keep themselves). DuckDB re-derives BOTH
+    detectors from the raw documents table (md5 self-join + the shingling
+    from the jaccard_pairs oracle), closes them with a recursive CTE, and
+    left-joins back onto documents — fully independent of the engine."""
+    from .operators.components import dedup_keep
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    h = d.select(F.md5("text").alias("h"), "doc_id")
+    keepers = h.groupBy("h").agg(F.min("doc_id").alias("a"))
+    exact_pairs = (
+        h.join(keepers, "h")
+        .filter(F.col("doc_id") != F.col("a"))
+        .select("a", F.col("doc_id").alias("b"))
+    )
+    jac_pairs = ngram_jaccard_pairs(
+        d.withColumn("blk", (F.col("doc_id") % 16).cast("int")),
+        block_col="blk", n=3, threshold=0.2,
+    ).select("a", "b")
+    annotated = dedup_keep(d.select("doc_id"), exact_pairs.union(jac_pairs))
+    return annotated.select(
+        "doc_id", "cluster_id", F.col("keep").cast("int").alias("keep")
+    )
+
+
+SQL_CORPUS_DEDUP_KEEP = """
+WITH RECURSIVE hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+exact_pairs AS (
+  SELECT k.a, hx.doc_id AS b
+  FROM hx JOIN (SELECT h, MIN(doc_id) AS a FROM hx GROUP BY h) k ON hx.h = k.h
+  WHERE hx.doc_id != k.a
+),
+g AS (
+  SELECT doc_id, CAST(doc_id % 16 AS INT) AS blk,
+         list_distinct(
+           list_transform(
+             range(0, greatest(len(w) - 3, 0) + 1),
+             i -> array_to_string(w[i + 1 : i + 3], ' ')
+           )
+         ) AS grams
+  FROM (
+    SELECT doc_id,
+           list_filter(
+             string_split_regex(
+               lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\\s+'
+             ),
+             x -> len(x) > 0
+           ) AS w
+    FROM documents
+  )
+),
+jac_pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+             THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(a.grams || b.grams))
+             ELSE 0.0 END >= 0.2
+),
+pairs AS (SELECT * FROM exact_pairs UNION ALL SELECT * FROM jac_pairs),
+sym AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v != r.u
+),
+comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       CAST(COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS INT) AS keep
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+SPARK_QUERIES["dedup_clusters"] = q_dedup_clusters
+SQL_ORACLES["dedup_clusters"] = SQL_DEDUP_CLUSTERS
+SPARK_QUERIES["corpus_dedup_keep"] = q_corpus_dedup_keep
+SQL_ORACLES["corpus_dedup_keep"] = SQL_CORPUS_DEDUP_KEEP
