@@ -137,24 +137,27 @@ DEDUP_PQ = os.environ.get("BENCH_DEDUP_PQ", "/dev/shm/bench_dedup_input")
 # per-op work (not fixed costs) dominates at both parallelism levels while
 # the whole section stays ~5-6 min of the per-round bench budget
 DEDUP_REP = int(os.environ.get("BENCH_DEDUP_REP", "16"))
+# the small corpus for the marginal (Δdocs/Δtime) measurement — see
+# _dedup_throughput_inprocess
+DEDUP_REP_SMALL = max(DEDUP_REP // 4, 1)
 
 
-def ensure_dedup_input(spark) -> tuple[str, str]:
+def ensure_dedup_input(spark, rep: int = DEDUP_REP) -> tuple[str, str]:
     """Materialize the dedup/ANN bench corpus ONCE (reused across
     parallelism levels so both read identical bytes): the sf documents table
-    replicated DEDUP_REP x with a per-replica text suffix (replicas are
+    replicated `rep` x with a per-replica text suffix (replicas are
     NEAR-duplicates — the workload LSH is built for, not degenerate exact
     copies), and the embeddings table replicated with a small per-replica
     additive shift."""
-    ddir = os.path.join(DEDUP_PQ, f"docs_x{DEDUP_REP}")
-    edir = os.path.join(DEDUP_PQ, f"emb_x{DEDUP_REP}")
+    ddir = os.path.join(DEDUP_PQ, f"docs_x{rep}")
+    edir = os.path.join(DEDUP_PQ, f"emb_x{rep}")
     if not os.path.isdir(ddir):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        r = spark.range(DEDUP_REP).select(F.col("id").alias("rep"))
+        r = spark.range(rep).select(F.col("id").alias("rep"))
         (
             docs.crossJoin(r)
             .select(
-                (F.col("doc_id") * DEDUP_REP + F.col("rep")).alias("doc_id"),
+                (F.col("doc_id") * rep + F.col("rep")).alias("doc_id"),
                 F.concat(F.col("text"), F.lit(" replica"), F.col("rep")).alias("text"),
             )
             .repartition(32)
@@ -163,11 +166,11 @@ def ensure_dedup_input(spark) -> tuple[str, str]:
         )
     if not os.path.isdir(edir):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-        r = spark.range(DEDUP_REP).select(F.col("id").alias("rep"))
+        r = spark.range(rep).select(F.col("id").alias("rep"))
         (
             emb.crossJoin(r)
             .select(
-                (F.col("vec_id") * DEDUP_REP + F.col("rep")).alias("vec_id"),
+                (F.col("vec_id") * rep + F.col("rep")).alias("vec_id"),
                 F.transform(
                     "embedding", lambda x: x + F.col("rep").cast("float") * 0.001
                 ).alias("embedding"),
@@ -183,43 +186,84 @@ def _dedup_throughput_inprocess(cores: int) -> dict:
     """One fresh-JVM sample of the dedup/ANN family at `cores` (VERDICT r04
     next #5 — publish the family's throughput, not just the capped gate
     rows): MinHash+LSH pairs, CDC partial-dup pairs, and IVF-blocked exact
-    cosine pairs, each forced by a count over the materialized corpus."""
+    cosine pairs, each forced by a count over the materialized corpus.
+
+    Two timed corpus sizes per op (x{DEDUP_REP_SMALL} and x{DEDUP_REP}
+    replicas) after an untimed per-op warmup slice. The headline per-op
+    number is MARGINAL throughput Δdocs/Δwall between the two sizes: the
+    per-invocation constants this sandbox cannot shrink (Python-UDF worker
+    spin-up, k-means driver training, per-job scheduling) appear identically
+    in both timings and cancel in the difference — the r4 one-shot ratios
+    mostly measured those constants (3.9-16.9s hi-level walls), not the
+    operators. One-shot full-corpus walls stay in the artifact for
+    auditability."""
     from link_profiler_repo_spark.operators.dedup import (
         ivf_blocked_cosine_pairs,
         minhash_lsh_dup,
         partial_dup_pairs,
     )
+    from link_profiler_repo_spark.operators.order import unpersist_all
     from link_profiler_repo_spark.session import get_spark
 
     spark = get_spark(
         app=f"dedup-bench-{cores}", cores=cores, shuffle_partitions=cores * 2
     )
     ddir, edir = ensure_dedup_input(spark)
-    docs = spark.read.parquet(ddir)
-    emb = spark.read.parquet(edir)
-    n_docs, n_vecs = docs.count(), emb.count()
+    dsdir, esdir = ensure_dedup_input(spark, DEDUP_REP_SMALL)
+    docs, docs_s = spark.read.parquet(ddir), spark.read.parquet(dsdir)
+    emb, emb_s = spark.read.parquet(edir), spark.read.parquet(esdir)
+    n_docs, n_docs_s = docs.count(), docs_s.count()
+    n_vecs, n_vecs_s = emb.count(), emb_s.count()
     # JVM/codegen warmup outside the timed region
     spark.range(1_000_000).select(F.sum("id")).collect()
-    out = {"cores": cores, "n_docs": n_docs, "n_vecs": n_vecs}
-    t0 = time.monotonic()
-    out["minhash_pairs"] = minhash_lsh_dup(docs, threshold=0.5).count()
-    w = time.monotonic() - t0
-    out["minhash_sec"] = round(w, 2)
-    out["minhash_docs_per_sec"] = int(n_docs / w)
-    t0 = time.monotonic()
-    out["cdc_pairs"] = partial_dup_pairs(docs, min_shared=3).count()
-    w = time.monotonic() - t0
-    out["cdc_sec"] = round(w, 2)
-    out["cdc_docs_per_sec"] = int(n_docs / w)
-    t0 = time.monotonic()
+    out = {
+        "cores": cores,
+        "n_docs": n_docs, "n_docs_small": n_docs_s,
+        "n_vecs": n_vecs, "n_vecs_small": n_vecs_s,
+    }
     # matmul kernel = the throughput tier (per-cell BLAS; tested equal to the
     # gate's bit-exact Catalyst tier to fp rounding)
-    out["ivf_pairs"] = ivf_blocked_cosine_pairs(
-        emb, threshold=0.85, assign_replicas=1, kernel="matmul"
-    ).count()
-    w = time.monotonic() - t0
-    out["ivf_sec"] = round(w, 2)
-    out["ivf_vecs_per_sec"] = int(n_vecs / w)
+    ops = (
+        ("minhash", lambda d: minhash_lsh_dup(d, threshold=0.5),
+         docs_s, docs, n_docs_s, n_docs, "docs"),
+        ("cdc", lambda d: partial_dup_pairs(d, min_shared=3),
+         docs_s, docs, n_docs_s, n_docs, "docs"),
+        ("ivf", lambda d: ivf_blocked_cosine_pairs(
+            d, threshold=0.85, assign_replicas=1, kernel="matmul"),
+         emb_s, emb, n_vecs_s, n_vecs, "vecs"),
+    )
+    def _cleanup():
+        # unpersist alone is NOT enough: measured on this box, back-to-back
+        # full runs DEGRADE ~2x without clearCache+GC (lingering blocks +
+        # heap pressure) and are stable ~10-14s with it
+        unpersist_all()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
+    for name, op, small, big, n_s, n_b, unit in ops:
+        # untimed FULL small-corpus warmup: a limit(500) slice measurably
+        # fails to absorb the one-time first-full-run cost (~8s — worker
+        # spin-up at real batch sizes + full shuffle path), which would land
+        # in the timed small run and invert the Δ; after this, both timed
+        # runs are equally warm steady-state
+        op(small).count()
+        _cleanup()
+        t0 = time.monotonic()
+        op(small).count()
+        w_s = time.monotonic() - t0
+        _cleanup()
+        t0 = time.monotonic()
+        out[f"{name}_pairs"] = op(big).count()
+        w_b = time.monotonic() - t0
+        _cleanup()
+        out[f"{name}_small_sec"] = round(w_s, 2)
+        out[f"{name}_sec"] = round(w_b, 2)
+        out[f"{name}_{unit}_per_sec"] = int(n_b / w_b)
+        # Δ floor 50ms: a noise-inverted pair (big faster than small) must
+        # surface as an absurd number to be rejected by best-of, not crash
+        out[f"{name}_marginal_{unit}_per_sec"] = int(
+            (n_b - n_s) / max(w_b - w_s, 0.05)
+        )
     return out
 
 
@@ -245,20 +289,36 @@ def dedup_family_bench(n_low: int, n_high: int, rounds: int = 2) -> dict:
                     cmd, capture_output=True, text=True, check=True,
                 ).stdout.strip().splitlines()[-1]
             )
+            # best-of = quietest sample: min total timed wall (small + big
+            # across all ops) — a noise-inverted marginal pair always comes
+            # with inflated walls, so this criterion also rejects it
+            def _tot(x):
+                return sum(
+                    x[f"{o}_{s_}sec"] for o in ("minhash", "cdc", "ivf")
+                    for s_ in ("", "small_")
+                )
+
             b = best[cores]
-            if b is None or s["minhash_sec"] + s["cdc_sec"] + s["ivf_sec"] < (
-                b["minhash_sec"] + b["cdc_sec"] + b["ivf_sec"]
-            ):
+            if b is None or _tot(s) < _tot(b):
                 best[cores] = s
     lo, hi = best[n_low], best[n_high]
+    units = (("minhash", "docs"), ("cdc", "docs"), ("ivf", "vecs"))
     eff = {
+        op: round(
+            hi[f"{op}_marginal_{unit}_per_sec"]
+            / lo[f"{op}_marginal_{unit}_per_sec"] / (n_high / n_low),
+            3,
+        )
+        for op, unit in units
+    }
+    eff_oneshot = {
         op: round(
             hi[f"{op}_{unit}_per_sec"] / lo[f"{op}_{unit}_per_sec"] / (n_high / n_low),
             3,
         )
-        for op, unit in (("minhash", "docs"), ("cdc", "docs"), ("ivf", "vecs"))
+        for op, unit in units
     }
-    return {"lo": lo, "hi": hi, "efficiency": eff}
+    return {"lo": lo, "hi": hi, "efficiency": eff, "efficiency_oneshot": eff_oneshot}
 
 
 def _task_metrics(evlog_dir: str, after_ms: float) -> dict:
@@ -649,7 +709,7 @@ def main() -> None:
     dedup_lo = int(os.environ.get("BENCH_DEDUP_LO", "4"))
     dedup = dedup_family_bench(
         dedup_lo, min(CPUS, dedup_lo * 4),
-        rounds=int(os.environ.get("BENCH_DEDUP_ROUNDS", "2")),
+        rounds=int(os.environ.get("BENCH_DEDUP_ROUNDS", "3")),
     )
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -726,33 +786,48 @@ def main() -> None:
             "never scheduler-bound.\n\n"
             "## Dedup / ANN family throughput (two parallelism levels)\n\n"
             f"Corpus: sf{sf} documents x{DEDUP_REP} near-duplicate replicas "
-            f"({dedup['hi']['n_docs']:,} docs), embeddings x{DEDUP_REP} "
-            f"({dedup['hi']['n_vecs']:,} vectors); fresh subprocess per run, "
-            "interleaved lo/hi rounds, best-of per level.\n\n"
-            "| op | local[{lo}] | local[{hi}] | scaling eff |\n".format(
+            f"({dedup['hi']['n_docs']:,} docs; marginal baseline "
+            f"x{DEDUP_REP_SMALL} = {dedup['hi']['n_docs_small']:,}), "
+            f"embeddings x{DEDUP_REP} ({dedup['hi']['n_vecs']:,} vectors); "
+            "fresh subprocess per run, interleaved lo/hi rounds, best-of "
+            "(quietest total wall) per level.\n\n"
+            "Headline per-op number = MARGINAL throughput Δdocs/Δwall "
+            "between the two corpus sizes, both timed equally warm after an "
+            "untimed warmup slice: per-invocation constants (Python-UDF "
+            "worker spin-up, k-means driver training, job scheduling) appear "
+            "identically in both timings and cancel in the difference. The "
+            "r4 one-shot ratios (0.28-0.42) mostly measured those constants "
+            "— hi-level walls were 3.9-16.9s against multi-second fixed "
+            "costs; one-shot numbers stay tabled for comparison.\n\n"
+            "| op | local[{lo}] marginal | local[{hi}] marginal | scaling "
+            "eff (marginal) | one-shot eff |\n".format(
                 lo=dedup["lo"]["cores"], hi=dedup["hi"]["cores"]
             )
-            + "|---|---|---|---|\n"
+            + "|---|---|---|---|---|\n"
             + "".join(
                 f"| {op} ({unit}/s, {dedup['hi'][f'{op}_pairs']:,} pairs) "
-                f"| {dedup['lo'][f'{op}_{unit}_per_sec']:,} "
-                f"| {dedup['hi'][f'{op}_{unit}_per_sec']:,} "
-                f"| {dedup['efficiency'][op]} |\n"
+                f"| {dedup['lo'][f'{op}_marginal_{unit}_per_sec']:,} "
+                f"| {dedup['hi'][f'{op}_marginal_{unit}_per_sec']:,} "
+                f"| {dedup['efficiency'][op]} "
+                f"| {dedup['efficiency_oneshot'][op]} |\n"
                 for op, unit in (
                     ("minhash", "docs"), ("cdc", "docs"), ("ivf", "vecs"),
                 )
             )
-            + "\nThis section publishes the family's measured THROUGHPUT "
+            + "\nOne-shot full-corpus walls (lo/hi): minhash "
+            f"{dedup['lo']['minhash_sec']}/{dedup['hi']['minhash_sec']}s, "
+            f"cdc {dedup['lo']['cdc_sec']}/{dedup['hi']['cdc_sec']}s, "
+            f"ivf {dedup['lo']['ivf_sec']}/{dedup['hi']['ivf_sec']}s; "
+            "one-shot throughput (hi): "
+            f"minhash {dedup['hi']['minhash_docs_per_sec']:,} docs/s, "
+            f"cdc {dedup['hi']['cdc_docs_per_sec']:,} docs/s, "
+            f"ivf {dedup['hi']['ivf_vecs_per_sec']:,} vecs/s.\n\n"
+            "This section publishes the family's measured THROUGHPUT "
             "(VERDICT r04 #5); the two-cluster-size CRITERION metric remains "
-            "the frontier kernel above. After this round's vectorized "
-            "kernels the hi-level walls here are "
-            f"{dedup['hi']['minhash_sec']}/{dedup['hi']['cdc_sec']}/"
-            f"{dedup['hi']['ivf_sec']}s — short enough that per-run fixed "
-            "costs (session+UDF-worker spin-up, k-means driver training, "
-            "job scheduling) bound the lo/hi ratio at this corpus size; the "
-            "structural scale story (banded/blocked joins, one shuffle on "
-            "the content key) is what carries to 100 TB, where per-op work "
-            "dwarfs those constants.\n\n"
+            "the frontier kernel above. The structural scale story "
+            "(banded/blocked joins, one shuffle on the content key) is what "
+            "carries to 100 TB, where per-op work dwarfs the constants the "
+            "marginal measurement cancels.\n\n"
             f"Headline query times at sf{sf} (local[{CPUS}]):\n\n"
             + "\n".join(f"- {k}: {v}s" for k, v in qtimes.items())
             + "\n"
