@@ -89,3 +89,13 @@ def test_dedup_clusters_column_names(spark):
     df = dedup_clusters(pairs)
     assert df.columns == ["doc_id", "cluster_id"]
     assert {(r["doc_id"], r["cluster_id"]) for r in df.collect()} == {(7, 7), (9, 7)}
+
+
+def test_chain_converges_in_log_rounds(spark):
+    # O(log^2 n) convergence is the reason to use star-contraction over
+    # min-label propagation (which needs diameter rounds): a 64-edge chain
+    # must converge well under the 64 rounds propagation would take
+    df = spark.createDataFrame([(i, i + 1) for i in range(64)], schema="a long, b long")
+    rows = connected_components(df, max_iter=12).collect()
+    assert {r["node"] for r in rows} == set(range(65))
+    assert {r["component"] for r in rows} == {0}
