@@ -2070,3 +2070,63 @@ SPARK_QUERIES["dedup_clusters"] = q_dedup_clusters
 SQL_ORACLES["dedup_clusters"] = SQL_DEDUP_CLUSTERS
 SPARK_QUERIES["corpus_dedup_keep"] = q_corpus_dedup_keep
 SQL_ORACLES["corpus_dedup_keep"] = SQL_CORPUS_DEDUP_KEEP
+
+
+# ---------------------------------------------------------------------------
+# Link-graph PageRank (operators/graph.py): the authority metric the
+# reference BUYS from openpagerank.com (domain_service.py:149), computed
+# in-engine over the link graph instead
+# ---------------------------------------------------------------------------
+
+_PAGERANK_EDGES_SQL = """
+SELECT 'h' || CAST(i AS VARCHAR) AS src,
+       'h' || CAST((i * 7 + 1) % 200 AS VARCHAR) AS dst
+FROM range(0, 190) t(i)
+UNION ALL
+SELECT 'h' || CAST(i AS VARCHAR), 'h' || CAST((i * 13 + 3) % 200 AS VARCHAR)
+FROM range(0, 190) t(i)
+UNION ALL
+SELECT 'h' || CAST(i AS VARCHAR), 'h0' FROM range(0, 190) t(i) WHERE i % 5 = 0
+"""
+
+
+def _pagerank_fixture_edges(spark):
+    """Deterministic 200-host graph, built identically by both engines from
+    range(): two arithmetic out-edges per host 0..189 plus an every-5th-host
+    edge into the h0 hub (skew), hosts 190..199 dangling (receive only)."""
+    i = F.col("id")
+
+    def h(x):
+        return F.concat(F.lit("h"), x.cast("long").cast("string"))
+
+    r = spark.range(190)
+    return (
+        r.select(h(i).alias("src"), h((i * 7 + 1) % 200).alias("dst"))
+        .union(r.select(h(i).alias("src"), h((i * 13 + 3) % 200).alias("dst")))
+        .union(
+            r.filter(i % 5 == 0).select(h(i).alias("src"), F.lit("h0").alias("dst"))
+        )
+    )
+
+
+def q_pagerank(spark, sf_dir):
+    """10-iteration damped PageRank with uniform dangling redistribution over
+    the deterministic host graph. DuckDB re-derives the identical edge set
+    from range() and runs the same fixed-iteration dataflow unrolled into
+    MATERIALIZED CTEs — fully independent, no exported intermediates. Ranks
+    rounded to 6 so 10 iterations of cross-engine float-sum-order drift
+    (~1e-12) cannot flip the hash."""
+    from .operators.graph import pagerank
+
+    pr = pagerank(_pagerank_fixture_edges(spark), damping=0.85, iters=10)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _sql_pagerank():
+    from .operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_PAGERANK_EDGES_SQL, damping=0.85, iters=10, round_to=6)
+
+
+SPARK_QUERIES["pagerank_hosts"] = q_pagerank
+SQL_ORACLES["pagerank_hosts"] = _sql_pagerank()

@@ -1,0 +1,77 @@
+"""PageRank operator: exact equality with a naive numpy twin (same fixed
+iteration count, same dangling redistribution), structural sanity, and a
+hypothesis sweep over small random graphs."""
+
+import numpy as np
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from link_profiler_repo_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(edges, damping=0.85, iters=10):
+    edges = sorted(set(edges))
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for a, b in edges:
+        out.setdefault(a, set()).add(b)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nr = np.full(n, (1 - damping) / n)
+        dang = sum(r[idx[v]] for v in nodes if v not in out)
+        nr += damping * dang / n
+        for a, bs in out.items():
+            for b in bs:
+                nr[idx[b]] += damping * r[idx[a]] / len(bs)
+        r = nr
+    return {v: float(r[idx[v]]) for v in nodes}
+
+
+def _spark_pagerank(spark, edges, iters=10):
+    df = spark.createDataFrame(edges, schema="src string, dst string")
+    return {
+        r["node"]: r["rank"] for r in pagerank(df, iters=iters).collect()
+    }
+
+
+def _close(got, exp, tol=1e-9):
+    assert got.keys() == exp.keys()
+    return all(abs(got[k] - exp[k]) < tol for k in got)
+
+
+def test_pagerank_matches_numpy_with_dangling_and_hub(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "c"),
+             ("c", "e")]  # e dangling, c a hub
+    got = _spark_pagerank(spark, edges)
+    assert _close(got, _numpy_pagerank(edges))
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+    assert max(got, key=got.get) == "c"
+
+
+def test_pagerank_disconnected_components(spark):
+    edges = [("a", "b"), ("b", "a"), ("x", "y")]  # y dangling
+    got = _spark_pagerank(spark, edges)
+    assert _close(got, _numpy_pagerank(edges))
+
+
+def test_pagerank_duplicate_edges_count_once(spark):
+    got = _spark_pagerank(spark, [("a", "b"), ("a", "b"), ("a", "c")])
+    exp = _numpy_pagerank([("a", "b"), ("a", "c")])
+    assert _close(got, exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=25,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_pagerank_matches_numpy_random(spark, edges):
+    named = [(f"n{a}", f"n{b}") for a, b in edges if a != b]
+    got = _spark_pagerank(spark, named, iters=5)
+    assert _close(got, _numpy_pagerank(named, iters=5))
