@@ -131,3 +131,122 @@ def pagerank_oracle_sql(
         "WITH " + ",\n".join(parts)
         + f"\nSELECT node, ROUND(rank, {round_to}) AS rank FROM pr{iters}"
     )
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 10,
+) -> DataFrame:
+    """HITS (Kleinberg) hub/authority scores over the directed link graph →
+    (node, hub, authority). The other classic link metric SEO tooling reports
+    (the reference's source_domain_metrics JSONB blob is where API-bought
+    values of this kind land, database/models.py:146).
+
+    Fixed-iteration power method with L1 normalization each half-step (L1 —
+    not the textbook L2 — so both engines normalize with a plain SUM; the
+    fixpoint direction is the same and scores are comparable across graphs).
+    Each iteration is two shuffles (authority: sum of hub over in-edges;
+    hub: sum of authority over out-edges) and two single-row normalizer
+    aggregates. Same scale shape as pagerank(); lineage truncated per round.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("hub", F.lit(0.0)).withColumn(
+            "authority", F.lit(0.0)
+        )
+    e = e.localCheckpoint(eager=True)
+    hubs = nodes.select("node", F.lit(1.0 / n).alias("h"))
+    auth = None
+    for _ in range(iters):
+        hubs = hubs.localCheckpoint(eager=True)
+        # authority(v) = sum of hub(u) over edges u -> v, L1-normalized
+        a_raw = (
+            e.join(hubs, e["src"] == hubs["node"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left").select(
+            "node", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")
+        )
+        auth = auth.localCheckpoint(eager=True)
+        a_norm = auth.agg(F.sum("a")).first()[0] or 1.0
+        auth = auth.select("node", (F.col("a") / F.lit(a_norm)).alias("a"))
+        auth = auth.localCheckpoint(eager=True)
+        # hub(u) = sum of authority(v) over edges u -> v, L1-normalized
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+        )
+        hubs = nodes.join(h_raw, nodes["node"] == h_raw["src"], "left").select(
+            "node", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
+        )
+        hubs = hubs.localCheckpoint(eager=True)
+        h_norm = hubs.agg(F.sum("h")).first()[0] or 1.0
+        hubs = hubs.select("node", (F.col("h") / F.lit(h_norm)).alias("h"))
+    return (
+        hubs.withColumnRenamed("h", "hub")
+        .join(auth.withColumnRenamed("a", "authority"), "node")
+    )
+
+
+def hits_oracle_sql(edges_sql: str, iters: int = 10, round_to: int = 6) -> str:
+    """The same fixed-iteration HITS dataflow unrolled into MATERIALIZED
+    CTEs for the DuckDB gate oracle. `edges_sql` must yield (src, dst)."""
+    parts = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "h0 AS (SELECT node, 1.0 / n.n AS h FROM nodes, n)",
+    ]
+    for i in range(1, iters + 1):
+        hp = f"h{i - 1}"
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT nodes.node, COALESCE(s.a, 0.0) AS a
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.h) AS a
+    FROM e JOIN {hp} p ON e.src = p.node GROUP BY e.dst
+  ) s ON nodes.node = s.node
+)"""
+        )
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT node, a / (SELECT CASE WHEN SUM(a) = 0 THEN 1.0 ELSE SUM(a) END
+                    FROM ar{i}) AS a
+  FROM ar{i}
+)"""
+        )
+        parts.append(
+            f"""hr{i} AS MATERIALIZED (
+  SELECT nodes.node, COALESCE(s.h, 0.0) AS h
+  FROM nodes LEFT JOIN (
+    SELECT e.src AS node, SUM(p.a) AS h
+    FROM e JOIN a{i} p ON e.dst = p.node GROUP BY e.src
+  ) s ON nodes.node = s.node
+)"""
+        )
+        parts.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT node, h / (SELECT CASE WHEN SUM(h) = 0 THEN 1.0 ELSE SUM(h) END
+                    FROM hr{i}) AS h
+  FROM hr{i}
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT h{iters}.node, ROUND(h{iters}.h, {round_to}) AS hub,"
+        + f" ROUND(a{iters}.a, {round_to}) AS authority"
+        + f"\nFROM h{iters} JOIN a{iters} ON h{iters}.node = a{iters}.node"
+    )

@@ -2130,3 +2130,27 @@ def _sql_pagerank():
 
 SPARK_QUERIES["pagerank_hosts"] = q_pagerank
 SQL_ORACLES["pagerank_hosts"] = _sql_pagerank()
+
+
+def q_hits(spark, sf_dir):
+    """10-iteration HITS hub/authority over the same deterministic host
+    graph as pagerank_hosts; DuckDB runs the identical unrolled dataflow
+    (L1-normalized half-steps) from the range()-derived edges — fully
+    independent, scores rounded to 6."""
+    from .operators.graph import hits
+
+    hs = hits(_pagerank_fixture_edges(spark), iters=10)
+    return hs.select(
+        "node", F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _sql_hits():
+    from .operators.graph import hits_oracle_sql
+
+    return hits_oracle_sql(_PAGERANK_EDGES_SQL, iters=10, round_to=6)
+
+
+SPARK_QUERIES["hits_hosts"] = q_hits
+SQL_ORACLES["hits_hosts"] = _sql_hits()

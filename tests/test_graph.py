@@ -75,3 +75,38 @@ def test_pagerank_matches_numpy_random(spark, edges):
     named = [(f"n{a}", f"n{b}") for a, b in edges if a != b]
     got = _spark_pagerank(spark, named, iters=5)
     assert _close(got, _numpy_pagerank(named, iters=5))
+
+
+def _numpy_hits(edges, iters=10):
+    es = sorted(set(edges))
+    nodes = sorted({x for e in es for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        for s, d in es:
+            a[idx[d]] += h[idx[s]]
+        a /= a.sum() or 1.0
+        h = np.zeros(n)
+        for s, d in es:
+            h[idx[s]] += a[idx[d]]
+        h /= h.sum() or 1.0
+    return {v: (float(h[idx[v]]), float(a[idx[v]])) for v in nodes}
+
+
+def test_hits_matches_numpy(spark):
+    from link_profiler_repo_spark.operators.graph import hits
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "c"),
+             ("c", "e")]
+    df = spark.createDataFrame(edges, schema="src string, dst string")
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(df).collect()}
+    exp = _numpy_hits(edges)
+    assert got.keys() == exp.keys()
+    for k in got:
+        assert abs(got[k][0] - exp[k][0]) < 1e-9
+        assert abs(got[k][1] - exp[k][1]) < 1e-9
+    # c is the authority (everyone links to it), a/d are hubs into it
+    assert max(got, key=lambda k: got[k][1]) == "c"
