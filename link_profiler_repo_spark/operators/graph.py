@@ -88,21 +88,20 @@ def damping_mass(dangling: float, n: int) -> float:
     return dangling / n
 
 
-def pagerank_oracle_sql(
-    edges_sql: str,
-    damping: float = 0.85,
-    iters: int = 10,
-    round_to: int = 6,
-) -> str:
-    """The SAME fixed-iteration dataflow as `pagerank`, unrolled into chained
-    CTEs (standard SQL forbids aggregates in a recursive term, so the loop
-    is unrolled — one CTE per iteration) for the DuckDB gate oracle.
-    `edges_sql` must yield (src, dst) rows."""
-    d = damping
-    parts = [
+def _graph_base_parts(edges_sql: str) -> list:
+    """Shared CTE prologue for every unrolled graph oracle: deduped edges,
+    node set, out-degrees."""
+    return [
         f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+    ]
+
+
+def _pagerank_chain_parts(damping: float, iters: int) -> list:
+    """The pr0..pr{iters} CTE chain; assumes e/nodes/deg are in scope."""
+    d = damping
+    parts = [
         "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
         "pr0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes, n)",
     ]
@@ -127,6 +126,20 @@ def pagerank_oracle_sql(
   ) c ON nodes.node = c.node
 )"""
         )
+    return parts
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    damping: float = 0.85,
+    iters: int = 10,
+    round_to: int = 6,
+) -> str:
+    """The SAME fixed-iteration dataflow as `pagerank`, unrolled into chained
+    CTEs (standard SQL forbids aggregates in a recursive term, so the loop
+    is unrolled — one CTE per iteration) for the DuckDB gate oracle.
+    `edges_sql` must yield (src, dst) rows."""
+    parts = _graph_base_parts(edges_sql) + _pagerank_chain_parts(damping, iters)
     return (
         "WITH " + ",\n".join(parts)
         + f"\nSELECT node, ROUND(rank, {round_to}) AS rank FROM pr{iters}"
@@ -249,4 +262,188 @@ def hits_oracle_sql(edges_sql: str, iters: int = 10, round_to: int = 6) -> str:
         + f"\nSELECT h{iters}.node, ROUND(h{iters}.h, {round_to}) AS hub,"
         + f" ROUND(a{iters}.a, {round_to}) AS authority"
         + f"\nFROM h{iters} JOIN a{iters} ON h{iters}.node = a{iters}.node"
+    )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina, Pedersen, VLDB'04) over the link
+    graph → (node, trust): PageRank with the teleport vector biased to a
+    trusted seed set instead of uniform. This is the in-engine computation
+    of the metric class the reference buys as "trust_flow" from domain
+    intelligence APIs (services/domain_service.py:410 fakes it with
+    random.randint; database/models.py:73 stores it) — trust propagated
+    from a vetted whitelist, attenuated by distance.
+
+    t_{k+1}(v) = (1-a)*d(v) + a*(sum_{u->v} t_k(u)/deg(u) + dangling*d(v))
+
+    where d is uniform over the seed nodes present in the graph. Dangling
+    mass re-teleports to the seeds (the personalized-PageRank convention,
+    keeping sum(trust)=1; the original paper lets it leak — same ordering,
+    different normalization). Scale shape identical to pagerank(): one
+    shuffle per iteration plus a single-row dangling aggregate; the teleport
+    column rides the checkpointed node table so the loop adds no join.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    s = seeds.select(F.col(seed_col).alias("node")).distinct()
+    # teleport d(v): uniform over seeds that exist in the graph
+    nd = nodes.join(s.withColumn("is_seed", F.lit(1)), "node", "left").select(
+        "node", F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed")
+    )
+    nd = nd.localCheckpoint(eager=True)
+    ns = nd.agg(F.sum("is_seed")).first()[0] or 0
+    if ns == 0:
+        return nd.select("node", F.lit(0.0).alias("trust"))
+    nd = nd.select("node", (F.col("is_seed") / F.lit(float(ns))).alias("d"))
+    nd = nd.localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    a = damping
+    trust = nd.select("node", F.col("d").alias("t"), "d")
+    for _ in range(iters):
+        trust = trust.localCheckpoint(eager=True)
+        dangling = (
+            trust.join(deg, trust["node"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("t"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            ed.join(trust, ed["src"] == trust["node"])
+            .select("dst", (F.col("t") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        trust = nd.join(contrib, nd["node"] == contrib["dst"], "left").select(
+            "node",
+            (
+                F.lit(1.0 - a) * F.col("d")
+                + F.lit(a)
+                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling) * F.col("d"))
+            ).alias("t"),
+            "d",
+        )
+    return trust.select("node", F.col("t").alias("trust"))
+
+
+def spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """Relative spam mass (Gyongyi et al., "Link Spam Detection Based on
+    Mass Estimation", VLDB'06) → (node, rank, trust, spam_mass): the
+    fraction of a node's PageRank NOT attributable to trusted-core
+    propagation, spam_mass = (rank - trust) / rank. High values (→1) mean
+    the node's rank comes from outside the trusted region — the published
+    estimator behind the spam_score the reference stores on every domain
+    (database/models.py:74) and renders in link profiles. Negative values
+    are the trusted core itself (more trust than uniform rank), kept as-is
+    per the paper. rank > 0 always (teleport base), so the ratio is total.
+    """
+    pr = pagerank(edges, src_col, dst_col, damping=damping, iters=iters)
+    tr = trustrank(
+        edges, seeds, src_col, dst_col, seed_col, damping=damping, iters=iters
+    )
+    return pr.join(tr, "node").select(
+        "node",
+        "rank",
+        "trust",
+        ((F.col("rank") - F.col("trust")) / F.col("rank")).alias("spam_mass"),
+    )
+
+
+def _trustrank_chain_parts(seeds_sql: str, damping: float, iters: int) -> list:
+    """The t0..t{iters} CTE chain; assumes e/nodes/deg are in scope.
+    `seeds_sql` must yield (node) rows."""
+    a = damping
+    parts = [
+        f"seeds AS (SELECT DISTINCT node FROM ({seeds_sql}) "
+        "WHERE node IN (SELECT node FROM nodes))",
+        "ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM seeds)",
+        """tv AS (
+  SELECT nodes.node,
+         CASE WHEN seeds.node IS NOT NULL THEN 1.0 / ns.ns ELSE 0.0 END AS d
+  FROM nodes CROSS JOIN ns LEFT JOIN seeds ON nodes.node = seeds.node
+)""",
+        "t0 AS (SELECT node, d AS t FROM tv)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"t{i - 1}"
+        parts.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT tv.node,
+         (1.0 - {a}) * tv.d
+         + {a} * (COALESCE(c.s, 0.0)
+                  + (SELECT COALESCE(SUM(p.t), 0.0) FROM {p} p
+                     LEFT JOIN deg ON p.node = deg.src
+                     WHERE deg.src IS NULL) * tv.d) AS t
+  FROM tv
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.t / deg.deg) AS s
+    FROM e JOIN {p} p ON e.src = p.node JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) c ON tv.node = c.node
+)"""
+        )
+    return parts
+
+
+def trustrank_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    damping: float = 0.85,
+    iters: int = 10,
+    round_to: int = 6,
+) -> str:
+    """The same fixed-iteration TrustRank dataflow unrolled for DuckDB."""
+    parts = _graph_base_parts(edges_sql) + _trustrank_chain_parts(
+        seeds_sql, damping, iters
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, ROUND(t, {round_to}) AS trust FROM t{iters}"
+    )
+
+
+def spam_mass_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    damping: float = 0.85,
+    iters: int = 10,
+    round_to: int = 6,
+) -> str:
+    """PageRank + TrustRank chains in one WITH; spam mass from the
+    UNROUNDED fixpoints, rounded only at the output (a ratio of rounded
+    values would amplify cross-engine float drift past the hash)."""
+    parts = (
+        _graph_base_parts(edges_sql)
+        + _pagerank_chain_parts(damping, iters)
+        + _trustrank_chain_parts(seeds_sql, damping, iters)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT p.node,
+       ROUND(p.rank, {round_to}) AS rank,
+       ROUND(t.t, {round_to}) AS trust,
+       ROUND((p.rank - t.t) / p.rank, {round_to}) AS spam_mass
+FROM pr{iters} p JOIN t{iters} t ON p.node = t.node"""
     )

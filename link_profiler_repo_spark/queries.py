@@ -2154,3 +2154,71 @@ def _sql_hits():
 
 SPARK_QUERIES["hits_hosts"] = q_hits
 SQL_ORACLES["hits_hosts"] = _sql_hits()
+
+
+_TRUST_SEEDS_SQL = """
+SELECT 'h' || CAST(i AS VARCHAR) AS node FROM range(0, 200) t(i) WHERE i % 17 = 0
+"""
+
+
+def _trust_seed_nodes(spark):
+    """Deterministic trusted core: every 17th host (12 seeds incl. the h0
+    hub), built identically by both engines from range()."""
+    return spark.range(0, 200).filter(F.col("id") % 17 == 0).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("node")
+    )
+
+
+def q_trustrank(spark, sf_dir):
+    """10-iteration TrustRank (seed-personalized PageRank, VLDB'04) over the
+    deterministic host graph with the every-17th-host trusted core. DuckDB
+    re-derives edges AND seeds from range() and runs the identical unrolled
+    dataflow — fully independent, scores rounded to 6."""
+    from .operators.graph import trustrank
+
+    tr = trustrank(
+        _pagerank_fixture_edges(spark), _trust_seed_nodes(spark), iters=10
+    )
+    return tr.select("node", F.round("trust", 6).alias("trust"))
+
+
+def _sql_trustrank():
+    from .operators.graph import trustrank_oracle_sql
+
+    return trustrank_oracle_sql(
+        _PAGERANK_EDGES_SQL, _TRUST_SEEDS_SQL, iters=10, round_to=6
+    )
+
+
+SPARK_QUERIES["trustrank_hosts"] = q_trustrank
+SQL_ORACLES["trustrank_hosts"] = _sql_trustrank()
+
+
+def q_spam_mass(spark, sf_dir):
+    """Relative spam mass (VLDB'06): (rank - trust)/rank per host, the
+    in-engine estimator behind the reference's stored spam_score. Both
+    engines compute the ratio from UNROUNDED PageRank+TrustRank fixpoints
+    and round only the output columns."""
+    from .operators.graph import spam_mass
+
+    sm = spam_mass(
+        _pagerank_fixture_edges(spark), _trust_seed_nodes(spark), iters=10
+    )
+    return sm.select(
+        "node",
+        F.round("rank", 6).alias("rank"),
+        F.round("trust", 6).alias("trust"),
+        F.round("spam_mass", 6).alias("spam_mass"),
+    )
+
+
+def _sql_spam_mass():
+    from .operators.graph import spam_mass_oracle_sql
+
+    return spam_mass_oracle_sql(
+        _PAGERANK_EDGES_SQL, _TRUST_SEEDS_SQL, iters=10, round_to=6
+    )
+
+
+SPARK_QUERIES["spam_mass_hosts"] = q_spam_mass
+SQL_ORACLES["spam_mass_hosts"] = _sql_spam_mass()

@@ -110,3 +110,70 @@ def test_hits_matches_numpy(spark):
         assert abs(got[k][1] - exp[k][1]) < 1e-9
     # c is the authority (everyone links to it), a/d are hubs into it
     assert max(got, key=lambda k: got[k][1]) == "c"
+
+
+def _numpy_trustrank(edges, seeds, a=0.85, iters=10):
+    es = sorted(set(edges))
+    nodes = sorted({x for e in es for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    s = [v for v in nodes if v in set(seeds)]
+    d = np.zeros(n)
+    for v in s:
+        d[idx[v]] = 1.0 / len(s)
+    deg = np.zeros(n)
+    for u, _ in es:
+        deg[idx[u]] += 1
+    t = d.copy()
+    for _ in range(iters):
+        dangling = t[deg == 0].sum()
+        c = np.zeros(n)
+        for u, v in es:
+            c[idx[v]] += t[idx[u]] / deg[idx[u]]
+        t = (1 - a) * d + a * (c + dangling * d)
+    return {v: float(t[idx[v]]) for v in nodes}
+
+
+def test_trustrank_matches_numpy(spark):
+    from link_profiler_repo_spark.operators.graph import trustrank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "c"),
+             ("c", "e"), ("e", "f")]  # f dangling
+    seeds = ["a", "d", "zz-not-in-graph"]
+    edf = spark.createDataFrame(edges, schema="src string, dst string")
+    sdf = spark.createDataFrame([(s,) for s in seeds], schema="node string")
+    got = {r["node"]: r["trust"] for r in trustrank(edf, sdf).collect()}
+    exp = _numpy_trustrank(edges, seeds)
+    assert got.keys() == exp.keys()
+    for k in got:
+        assert abs(got[k] - exp[k]) < 1e-9
+    # trust is a distribution (dangling re-teleports to seeds)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # b is reachable only through the graph, never a seed: less than seed a
+    assert got["b"] < got["a"]
+
+
+def test_trustrank_no_seeds_in_graph(spark):
+    from link_profiler_repo_spark.operators.graph import trustrank
+
+    edf = spark.createDataFrame([("a", "b")], schema="src string, dst string")
+    sdf = spark.createDataFrame([("zz",)], schema="node string")
+    got = {r["node"]: r["trust"] for r in trustrank(edf, sdf).collect()}
+    assert got == {"a": 0.0, "b": 0.0}
+
+
+def test_spam_mass_separates_trusted_from_spam(spark):
+    from link_profiler_repo_spark.operators.graph import spam_mass
+
+    # trusted clique a<->b, plus a spam farm s1..s4 all boosting "spam"
+    # with no path from the trusted core
+    edges = [("a", "b"), ("b", "a")] + [
+        (f"s{i}", "spam") for i in range(1, 5)
+    ] + [("spam", "s1")]
+    edf = spark.createDataFrame(edges, schema="src string, dst string")
+    sdf = spark.createDataFrame([("a",), ("b",)], schema="node string")
+    got = {r["node"]: r["spam_mass"] for r in spam_mass(edf, sdf).collect()}
+    # the farm target's rank owes ~nothing to the trusted core
+    assert got["spam"] > 0.95
+    # the trusted pair holds more trust than uniform rank -> negative mass
+    assert got["a"] < 0 and got["b"] < 0
