@@ -2222,3 +2222,64 @@ def _sql_spam_mass():
 
 SPARK_QUERIES["spam_mass_hosts"] = q_spam_mass
 SQL_ORACLES["spam_mass_hosts"] = _sql_spam_mass()
+
+
+_REDIRECTS_SQL = """
+SELECT 'u' || CAST(i AS VARCHAR) AS src, 'u' || CAST(i + 1 AS VARCHAR) AS dst
+FROM range(0, 200) t(i) WHERE i % 10 <> 9
+UNION ALL
+SELECT 'L' || CAST(i AS VARCHAR), 'L' || CAST(i + 1 AS VARCHAR)
+FROM range(0, 40) t(i)
+UNION ALL
+SELECT 'c' || CAST(i AS VARCHAR), 'c' || CAST((i + 1) % 3 AS VARCHAR)
+FROM range(0, 3) t(i)
+UNION ALL
+SELECT 'u0', 'u5'
+"""
+
+
+def _redirects_fixture(spark):
+    """Deterministic redirect table, built identically by both engines from
+    range(): 20 ten-URL chains (all resolve, <=9 hops), a 41-URL chain
+    (sources >16 hops from the end are unresolved), a 3-cycle (unresolved),
+    and a duplicate source exercising the min-dedup."""
+    i = F.col("id")
+
+    def tag(p, x):
+        return F.concat(F.lit(p), x.cast("long").cast("string"))
+
+    chains = (
+        spark.range(200)
+        .filter(i % 10 != 9)
+        .select(tag("u", i).alias("src"), tag("u", i + 1).alias("dst"))
+    )
+    long_chain = spark.range(40).select(
+        tag("L", i).alias("src"), tag("L", i + 1).alias("dst")
+    )
+    cycle = spark.range(3).select(
+        tag("c", i).alias("src"), tag("c", (i + 1) % 3).alias("dst")
+    )
+    dupe = spark.createDataFrame([("u0", "u5")], "src string, dst string")
+    return chains.union(long_chain).union(cycle).union(dupe)
+
+
+def q_resolve_redirects(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling (4 shuffle joins for a
+    16-hop budget) vs DuckDB's naive per-hop recursive-CTE walk — two
+    different algorithms, same fixpoint: final target + exact hop count per
+    source, NULL/false for cycles and over-budget chains."""
+    from .operators.graph import resolve_redirects
+
+    return resolve_redirects(_redirects_fixture(spark), max_hops=16)
+
+
+SPARK_QUERIES["resolve_redirects"] = q_resolve_redirects
+
+
+def _sql_resolve_redirects():
+    from .operators.graph import resolve_redirects_oracle_sql
+
+    return resolve_redirects_oracle_sql(_REDIRECTS_SQL, max_hops=16)
+
+
+SQL_ORACLES["resolve_redirects"] = _sql_resolve_redirects()

