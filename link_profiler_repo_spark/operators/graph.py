@@ -37,22 +37,35 @@ def pagerank(
     keyed on the pair, so duplicates are upstream dedup's job — mirrored in
     the oracle). Dangling nodes (no out-edges) redistribute their mass
     uniformly, the standard correction, so sum(rank) == 1 every iteration."""
+    from .order import track_persist
+
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
-    nodes = (
+    # node table cached PRE-PARTITIONED on the per-iteration join key: the
+    # contribution aggregate arrives hash-partitioned on dst from its
+    # groupBy, so the nodes-side join adds no Exchange
+    nodes = track_persist(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition("node")
+        .persist()
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # out-degree carried with every edge: the loop's join then touches ONE
-    # prebuilt table instead of re-aggregating degrees each iteration
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    # out-degree carried with every edge, and the edge table cached
+    # PRE-PARTITIONED on src: each iteration's contribution join then reads
+    # the cache with NO edges-side Exchange (localCheckpoint would lose the
+    # partitioning under AQE — LogicalRDD reports Unknown) — per-iteration
+    # shuffle is O(|V|) rank rows, never O(|E|) edges, the difference
+    # between feasible and not at web-graph scale. Cluster equivalent: a
+    # bucketBy(src) edges table. Released at the caller's
+    # unpersist_all() barrier.
+    ed = track_persist(e.join(deg, "src").repartition("src").persist())
+    ed.count()
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
@@ -164,28 +177,38 @@ def hits(
     hub: sum of authority over out-edges) and two single-row normalizer
     aggregates. Same scale shape as pagerank(); lineage truncated per round.
     """
+    from .order import track_persist
+
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
-    nodes = (
+    nodes = track_persist(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition("node")
+        .persist()
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("hub", F.lit(0.0)).withColumn(
             "authority", F.lit(0.0)
         )
-    e = e.localCheckpoint(eager=True)
+    # HITS joins edges on BOTH keys (src in the authority step, dst in the
+    # hub step), so one layout cannot serve both: cache TWO co-partitioned
+    # copies — the classic 2x-storage-for-zero-edge-shuffle tradeoff; each
+    # half-step then exchanges only O(|V|) score rows
+    e_by_src = track_persist(e.repartition("src").persist())
+    e_by_dst = track_persist(e.repartition("dst").persist())
+    e_by_src.count()
+    e_by_dst.count()
     hubs = nodes.select("node", F.lit(1.0 / n).alias("h"))
     auth = None
     for _ in range(iters):
         hubs = hubs.localCheckpoint(eager=True)
         # authority(v) = sum of hub(u) over edges u -> v, L1-normalized
         a_raw = (
-            e.join(hubs, e["src"] == hubs["node"])
+            e_by_src.join(hubs, e_by_src["src"] == hubs["node"])
             .groupBy("dst")
             .agg(F.sum("h").alias("a"))
         )
@@ -198,7 +221,7 @@ def hits(
         auth = auth.localCheckpoint(eager=True)
         # hub(u) = sum of authority(v) over edges u -> v, L1-normalized
         h_raw = (
-            e.join(auth, e["dst"] == auth["node"])
+            e_by_dst.join(auth, e_by_dst["dst"] == auth["node"])
             .groupBy("src")
             .agg(F.sum("a").alias("h"))
         )
@@ -299,8 +322,11 @@ def trustrank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    from .order import track_persist
+
     s = seeds.select(F.col(seed_col).alias("node")).distinct()
-    # teleport d(v): uniform over seeds that exist in the graph
+    # teleport d(v): uniform over seeds that exist in the graph; cached
+    # pre-partitioned on node (same layout rationale as pagerank's nodes)
     nd = nodes.join(s.withColumn("is_seed", F.lit(1)), "node", "left").select(
         "node", F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed")
     )
@@ -308,10 +334,17 @@ def trustrank(
     ns = nd.agg(F.sum("is_seed")).first()[0] or 0
     if ns == 0:
         return nd.select("node", F.lit(0.0).alias("trust"))
-    nd = nd.select("node", (F.col("is_seed") / F.lit(float(ns))).alias("d"))
-    nd = nd.localCheckpoint(eager=True)
+    nd = track_persist(
+        nd.select("node", (F.col("is_seed") / F.lit(float(ns))).alias("d"))
+        .repartition("node")
+        .persist()
+    )
+    nd.count()
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    # src-partitioned edge cache: zero edges-side Exchange per iteration
+    # (see pagerank)
+    ed = track_persist(e.join(deg, "src").repartition("src").persist())
+    ed.count()
     a = damping
     trust = nd.select("node", F.col("d").alias("t"), "d")
     for _ in range(iters):

@@ -221,3 +221,42 @@ def test_resolve_redirects_rounds_are_logarithmic(spark):
     got = {r["src"]: r for r in resolve_redirects(df, max_hops=16).collect()}
     assert got["x0"]["final_url"] == "x16" and got["x0"]["hops"] == 16
     assert got["x0"]["resolved"] is True
+
+
+def test_pagerank_layout_joins_edges_without_reshuffle(spark):
+    """The layout contract pagerank/trustrank rely on: a src-repartitioned
+    CACHED edge table feeds the per-iteration contribution join with no
+    edges-side Exchange — only the O(|V|) rank rows shuffle. (localCheckpoint
+    loses outputPartitioning under AQE; the cache keeps it.)"""
+    from link_profiler_repo_spark.plans.inspect import physical_plan
+
+    e = spark.range(20000).select(
+        F.concat(F.lit("h"), (F.col("id") % 500).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((F.col("id") * 7 + 1) % 500).cast("string")).alias("dst"),
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = e.join(deg, "src").repartition("src").persist()
+    ed.count()
+    ranks = spark.range(500).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("node"),
+        F.lit(1.0).alias("rank"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum("rank").alias("s"))
+        )
+        j.collect()
+        plan = physical_plan(j, "simple")
+        # look only ABOVE the cached relation's stored build lineage
+        head = plan.split("InMemoryRelation")[0]
+        assert "InMemoryTableScan" in head, plan
+        assert "Exchange hashpartitioning(src" not in head, head
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        ed.unpersist()
