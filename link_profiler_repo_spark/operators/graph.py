@@ -576,3 +576,108 @@ SELECT start AS src,
        COALESCE(BOOL_OR(terminal), FALSE) AS resolved
 FROM term GROUP BY start
 """
+
+
+def link_networks(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Link-network structure per host → (node, component, comp_size,
+    out_deg, in_deg, recip_deg). `component` is the weakly-connected
+    component the host belongs to (labelled by its lexicographically
+    smallest member), `comp_size` that component's host count, and
+    recip_deg the number of distinct neighbors linked in BOTH directions —
+    the classic link-exchange/PBN signal. The reference flags spam one
+    domain at a time (stored spam_score; `domain_analyzer_service.py`
+    heuristics); network-level structure — tightly reciprocal clusters
+    disconnected from the main web — is only visible as a graph query over
+    the edges the crawler already produces, so this operator has no
+    reference counterpart (added link-analysis family, same class as
+    PageRank/TrustRank above).
+
+    Plan shape: the edge set is canonicalized once (distinct directed
+    pairs, self-loops dropped) and localCheckpoint-materialized, then read
+    by four independent branches — components (alternating
+    large-star/small-star via operators/components.py, O(log²) one-shuffle
+    rounds, hub-safe min() aggregation), two degree aggregates (one
+    shuffle each on node), and the reciprocity self-join (equi-join on the
+    swapped pair key, one shuffle per side). At web scale the size join is
+    skewed by the giant WCC — a single hot `component` key — which is
+    exactly the AQE skew-join case (the engine session enables it); the
+    per-node joins are uniform.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    from .components import connected_components
+
+    comp = connected_components(e, a_col="src", b_col="dst")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("comp_size"))
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("out_deg")
+    )
+    in_deg = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("in_deg")
+    )
+    recip = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.src") == F.col("b.dst"))
+            & (F.col("a.dst") == F.col("b.src")),
+        )
+        .groupBy(F.col("a.src").alias("node"))
+        .agg(F.count("*").alias("recip_deg"))
+    )
+    return (
+        comp.join(sizes, "component")
+        .join(out_deg, "node", "left")
+        .join(in_deg, "node", "left")
+        .join(recip, "node", "left")
+        .select(
+            "node",
+            "component",
+            "comp_size",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("recip_deg", F.lit(0)).alias("recip_deg"),
+        )
+    )
+
+
+def link_networks_oracle_sql(edges_sql: str) -> str:
+    """Independent DuckDB twin: recursive-CTE transitive closure for the
+    components (a different algorithm than star-contraction, converging to
+    the same fixpoint) plus plain GROUP BYs for the degree/reciprocity
+    columns. `edges_sql` must yield (src, dst)."""
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src != dst
+),
+sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v != r.u
+),
+comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+sizes AS (SELECT component, COUNT(*) AS comp_size FROM comp GROUP BY component),
+outd AS (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY src),
+ind AS (SELECT dst AS node, COUNT(*) AS in_deg FROM e GROUP BY dst),
+recip AS (
+  SELECT a.src AS node, COUNT(*) AS recip_deg
+  FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+  GROUP BY a.src
+)
+SELECT c.node, c.component, s.comp_size,
+       COALESCE(o.out_deg, 0) AS out_deg,
+       COALESCE(i.in_deg, 0) AS in_deg,
+       COALESCE(r.recip_deg, 0) AS recip_deg
+FROM comp c
+JOIN sizes s USING (component)
+LEFT JOIN outd o ON o.node = c.node
+LEFT JOIN ind i ON i.node = c.node
+LEFT JOIN recip r ON r.node = c.node
+"""

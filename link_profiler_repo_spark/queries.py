@@ -2283,3 +2283,70 @@ def _sql_resolve_redirects():
 
 
 SQL_ORACLES["resolve_redirects"] = _sql_resolve_redirects()
+
+
+# ---------------------------------------------------------------------------
+# Link-network structure (operators/graph.py link_networks): weakly-connected
+# components + degree/reciprocity per host — the link-exchange/PBN signal the
+# reference's per-domain spam heuristics cannot see
+# ---------------------------------------------------------------------------
+
+# 12 disconnected 25-host clusters (300 hosts): a ring edge, an arithmetic
+# chord (which degenerates to the ring edge at p=8 and to a self-loop at
+# p=12 — exercising both dedup paths), and an every-5th-host back-edge that
+# creates reciprocal pairs on top of the p=16 chord/ring reciprocal.
+_LINKNET_EDGES_SQL = """
+SELECT 'n' || CAST(i AS VARCHAR) AS src,
+       'n' || CAST((i // 25) * 25 + ((i % 25) + 1) % 25 AS VARCHAR) AS dst
+FROM range(0, 300) t(i)
+UNION ALL
+SELECT 'n' || CAST(i AS VARCHAR),
+       'n' || CAST((i // 25) * 25 + ((i % 25) * 7 + 3) % 25 AS VARCHAR)
+FROM range(0, 300) t(i)
+UNION ALL
+SELECT 'n' || CAST(i AS VARCHAR),
+       'n' || CAST((i // 25) * 25 + ((i % 25) + 24) % 25 AS VARCHAR)
+FROM range(0, 300) t(i) WHERE i % 5 = 0
+"""
+
+
+def _linknet_fixture_edges(spark):
+    """Deterministic multi-component host graph, built identically by both
+    engines from range() (see _LINKNET_EDGES_SQL)."""
+    i = F.col("id")
+    base = (i - (i % 25)).cast("long")
+    p = (i % 25).cast("long")
+
+    def h(x):
+        return F.concat(F.lit("n"), x.cast("long").cast("string"))
+
+    r = spark.range(300)
+    return (
+        r.select(h(i).alias("src"), h(base + (p + 1) % 25).alias("dst"))
+        .union(r.select(h(i).alias("src"), h(base + (p * 7 + 3) % 25).alias("dst")))
+        .union(
+            r.filter(i % 5 == 0).select(
+                h(i).alias("src"), h(base + (p + 24) % 25).alias("dst")
+            )
+        )
+    )
+
+
+def q_link_networks(spark, sf_dir):
+    """WCC (star-contraction) + out/in/reciprocal degree per host over the
+    12-cluster fixture; DuckDB re-derives the identical edge set from
+    range() and closes the components with a recursive CTE — a different
+    algorithm converging to the same labelling."""
+    from .operators.graph import link_networks
+
+    return link_networks(_linknet_fixture_edges(spark))
+
+
+def _sql_link_networks():
+    from .operators.graph import link_networks_oracle_sql
+
+    return link_networks_oracle_sql(_LINKNET_EDGES_SQL)
+
+
+SPARK_QUERIES["link_networks"] = q_link_networks
+SQL_ORACLES["link_networks"] = _sql_link_networks()

@@ -260,3 +260,35 @@ def test_pagerank_layout_joins_edges_without_reshuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         ed.unpersist()
+
+
+# --- link_networks (WCC + degree/reciprocity summary) ---
+
+
+def test_link_networks_golden(spark):
+    from link_profiler_repo_spark.operators.graph import link_networks
+
+    # two components: a reciprocal triangle pair {a,b,c} (a<->b both ways,
+    # b->c, c->a) and a chain {x -> y -> z}; one duplicate edge and one
+    # self-loop that must vanish
+    edges = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+        ("x", "y"), ("y", "z"),
+        ("a", "b"),  # dupe
+        ("z", "z"),  # self-loop
+    ]
+    df = spark.createDataFrame(edges, schema="src string, dst string")
+    got = {
+        r["node"]: (
+            r["component"], r["comp_size"], r["out_deg"], r["in_deg"], r["recip_deg"]
+        )
+        for r in link_networks(df).collect()
+    }
+    assert got == {
+        "a": ("a", 3, 1, 2, 1),
+        "b": ("a", 3, 2, 1, 1),
+        "c": ("a", 3, 1, 1, 0),
+        "x": ("x", 3, 1, 0, 0),
+        "y": ("x", 3, 1, 1, 0),
+        "z": ("x", 3, 0, 1, 0),
+    }
