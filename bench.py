@@ -98,19 +98,23 @@ def synth_seen(spark, n: int):
 BENCH_BUCKETS = 32
 
 
-def ensure_frontier_input(spark) -> tuple[str, str]:
+def ensure_frontier_input(
+    spark, n_frontier: int | None = None, n_seen: int | None = None
+) -> tuple[str, str]:
     """Materialize the synthetic frontier + seen tables ONCE as CO-BUCKETED
     parquet state tables (bucket(32, url_hash) — the Iceberg layout the
     engine maintains for the seen set; on a real cluster the kernel's input
     IS such a stored table, so generating it is not part of the measured
     work). Reused across parallelism levels so both read identical bytes."""
+    nf = n_frontier if n_frontier is not None else N_FRONTIER
+    ns = n_seen if n_seen is not None else N_SEEN
     # layout-versioned dir names: a stale cache from an older layout must
     # never be silently reused after a format change
-    fdir = os.path.join(FRONTIER_PQ, f"frontier_bin1f_{N_FRONTIER}")
-    sdir = os.path.join(FRONTIER_PQ, f"seen_bin1f_{N_SEEN}")
+    fdir = os.path.join(FRONTIER_PQ, f"frontier_bin1f_{nf}")
+    sdir = os.path.join(FRONTIER_PQ, f"seen_bin1f_{ns}")
     for name, gen, loc in (
-        ("bench_frontier_gen", lambda: synth_frontier(spark, N_FRONTIER), fdir),
-        ("bench_seen_gen", lambda: synth_seen(spark, N_SEEN), sdir),
+        (f"bench_frontier_gen_{nf}", lambda: synth_frontier(spark, nf), fdir),
+        (f"bench_seen_gen_{ns}", lambda: synth_seen(spark, ns), sdir),
     ):
         if not os.path.isdir(loc):
             (
@@ -562,6 +566,59 @@ def frontier_epoch_bench(cores: int, repeats: int = 2) -> dict:
         if best is None or r["seconds"] < best["seconds"]:
             best = r
     return best
+
+
+def frontier_size_sweep(
+    cores: int, sizes: list[int], rounds: int = 3
+) -> dict:
+    """Frontier-SIZE linearity at FIXED parallelism: the 10^10 claim's other
+    axis. The N-vs-4N pair shows throughput scales with cores at one size;
+    this shows per-URL cost stays flat as the frontier itself grows (one
+    epoch is scan + SMJ anti-join + politeness rank — all O(n log n) with
+    tiny constants, no per-URL state that accumulates), so epochs at 10^10
+    are the same URLs/s run longer, partitioned wider. Inputs for every size
+    are pre-materialized at full machine width (generation is not the
+    measured work), then each size runs in a CPU-pinned subprocess,
+    interleaved round-robin so all sizes see the same host-contention mix;
+    best-of per size. linearity[i] = urls_per_sec(size_i) /
+    urls_per_sec(size_0) — 1.0 is perfectly flat."""
+    import shutil
+    import subprocess
+
+    from link_profiler_repo_spark.session import get_spark
+
+    spark = get_spark(app="sweep-gen", cores=CPUS, shuffle_partitions=CPUS * 2)
+    try:
+        for n in sizes:
+            ensure_frontier_input(spark, n_frontier=n, n_seen=n // 2)
+    finally:
+        spark.stop()
+    cmd = [sys.executable, os.path.abspath(__file__), "--frontier", str(cores)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    best: dict[int, dict] = {}
+    for _ in range(rounds):
+        for n in sizes:
+            env = dict(
+                os.environ,
+                BENCH_FRONTIER_URLS=str(n),
+                BENCH_SEEN_URLS=str(n // 2),
+            )
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, check=True, env=env
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if n not in best or r["seconds"] < best[n]["seconds"]:
+                best[n] = r
+    base = best[sizes[0]]["urls_per_sec"]
+    return {
+        "cores": cores,
+        "rounds": rounds,
+        "sizes": [best[n] for n in sizes],
+        "linearity": [
+            round(best[n]["urls_per_sec"] / base, 3) for n in sizes
+        ],
+    }
 
 
 def _crawl_throughput_inprocess(cores: int) -> dict:
@@ -1099,5 +1156,16 @@ if __name__ == "__main__":
         print(json.dumps(_dedup_throughput_inprocess(int(sys.argv[2]))))
     elif len(sys.argv) >= 3 and sys.argv[1] == "--graph":
         print(json.dumps(_graph_throughput_inprocess(int(sys.argv[2]))))
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--size-sweep":
+        # frontier-size linearity evidence (not part of the per-round driver
+        # run — results are recorded in BENCH/BASELINE.md):
+        #   python bench.py --size-sweep [cores] [size ...]
+        sw_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+        sw_sizes = (
+            [int(x) for x in sys.argv[3:]]
+            if len(sys.argv) > 3
+            else [64_000_000, 256_000_000]
+        )
+        print(json.dumps(frontier_size_sweep(sw_cores, sw_sizes)))
     else:
         main()

@@ -681,3 +681,102 @@ LEFT JOIN outd o ON o.node = c.node
 LEFT JOIN ind i ON i.node = c.node
 LEFT JOIN recip r ON r.node = c.node
 """
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core of the undirected link graph → (node, core_deg): the maximal
+    subgraph where every host keeps >= k distinct neighbors after repeatedly
+    peeling lower-degree hosts. Dense mutually-linked cores that SURVIVE
+    peeling are the structural link-farm signal — individually each farm
+    member looks like spam_mass's mid-range, but a high-k core of hundreds
+    of hosts is near-impossible organically. The reference scores spam one
+    domain at a time (stored spam_score, `domain_analyzer_service.py`);
+    core decomposition needs the whole graph, so this has no reference
+    counterpart (added link-analysis family).
+
+    Peeling is simultaneous per round (all current-degree < k nodes leave
+    together), which makes each round ONE degree aggregate + two left-semi
+    joins on the endpoints, all keyed on node — and makes the round count
+    the peel DEPTH (longest dependency cascade), not the node count. The
+    edge set strictly shrinks until the fixpoint, so a plain count() is the
+    convergence test; lineage is localCheckpoint-truncated per round (the
+    same contract as connected_components above)."""
+    e = (
+        edges.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = e.count()
+    for _ in range(max_rounds):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        keep = (
+            sym.groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("u")
+        )
+        e2 = (
+            e.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            # the second join moves its key first — restore (u, v) order,
+            # the union() above pairs columns by POSITION
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        cnt = e2.count()
+        e = e2
+        if cnt == prev:  # no node left the core this round: fixpoint
+            break
+        prev = cnt
+    else:
+        raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return sym.groupBy("u").agg(F.count("*").alias("core_deg")).select(
+        F.col("u").alias("node"), "core_deg"
+    )
+
+
+def kcore_oracle_sql(edges_sql: str, k: int = 3, rounds: int = 8) -> str:
+    """The same simultaneous peeling unrolled into `rounds` MATERIALIZED CTE
+    rounds (extra rounds past the fixpoint are no-ops, so `rounds` only
+    needs to be >= the fixture's peel depth). `edges_sql` must yield
+    (src, dst)."""
+    parts = [
+        f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT GREATEST(src, dst) AS u, LEAST(src, dst) AS v
+  FROM ({edges_sql}) WHERE src != dst
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = f"e{i - 1}"
+        parts.append(
+            f"""keep{i} AS MATERIALIZED (
+  SELECT u AS node
+  FROM (SELECT u FROM {p} UNION ALL SELECT v FROM {p}) s
+  GROUP BY u HAVING COUNT(*) >= {k}
+)"""
+        )
+        parts.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {p} e
+  JOIN keep{i} a ON e.u = a.node
+  JOIN keep{i} b ON e.v = b.node
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT u AS node, COUNT(*) AS core_deg
+FROM (SELECT u FROM e{rounds} UNION ALL SELECT v FROM e{rounds}) s
+GROUP BY u"""
+    )

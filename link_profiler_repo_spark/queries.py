@@ -2350,3 +2350,80 @@ def _sql_link_networks():
 
 SPARK_QUERIES["link_networks"] = q_link_networks
 SQL_ORACLES["link_networks"] = _sql_link_networks()
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (operators/graph.py kcore): the structural link-farm
+# signal — dense cores that survive peeling
+# ---------------------------------------------------------------------------
+
+# A 30-host "farm" (three arithmetic rings -> undirected degree 6, survives
+# k=4), a 10-host bridge chain where every c_j also holds two farm links
+# (degree 4 in the full graph, but the chain ENDS have 3 — so peeling
+# cascades inward two hosts per round, ~6 rounds deep), and a 12-host pure
+# ring that vanishes in round 1.
+_KCORE_EDGES_SQL = """
+SELECT 'f' || CAST(i AS VARCHAR) AS src,
+       'f' || CAST((i + 1) % 30 AS VARCHAR) AS dst FROM range(0, 30) t(i)
+UNION ALL
+SELECT 'f' || CAST(i AS VARCHAR), 'f' || CAST((i + 2) % 30 AS VARCHAR)
+FROM range(0, 30) t(i)
+UNION ALL
+SELECT 'f' || CAST(i AS VARCHAR), 'f' || CAST((i + 5) % 30 AS VARCHAR)
+FROM range(0, 30) t(i)
+UNION ALL
+SELECT 'c' || CAST(j AS VARCHAR), 'c' || CAST(j + 1 AS VARCHAR)
+FROM range(0, 9) t(j)
+UNION ALL
+SELECT 'c' || CAST(j AS VARCHAR), 'f' || CAST(j AS VARCHAR)
+FROM range(0, 10) t(j)
+UNION ALL
+SELECT 'c' || CAST(j AS VARCHAR), 'f' || CAST(j + 1 AS VARCHAR)
+FROM range(0, 10) t(j)
+UNION ALL
+SELECT 'r' || CAST(r AS VARCHAR), 'r' || CAST((r + 1) % 12 AS VARCHAR)
+FROM range(0, 12) t(r)
+"""
+
+
+def _kcore_fixture_edges(spark):
+    """Deterministic farm/chain/ring graph, built identically by both
+    engines from range() (see _KCORE_EDGES_SQL)."""
+    i = F.col("id")
+
+    def lab(prefix, x):
+        return F.concat(F.lit(prefix), x.cast("long").cast("string"))
+
+    f30 = spark.range(30)
+    c9 = spark.range(9)
+    c10 = spark.range(10)
+    r12 = spark.range(12)
+    return (
+        f30.select(lab("f", i).alias("src"), lab("f", (i + 1) % 30).alias("dst"))
+        .union(f30.select(lab("f", i).alias("src"), lab("f", (i + 2) % 30).alias("dst")))
+        .union(f30.select(lab("f", i).alias("src"), lab("f", (i + 5) % 30).alias("dst")))
+        .union(c9.select(lab("c", i).alias("src"), lab("c", i + 1).alias("dst")))
+        .union(c10.select(lab("c", i).alias("src"), lab("f", i).alias("dst")))
+        .union(c10.select(lab("c", i).alias("src"), lab("f", i + 1).alias("dst")))
+        .union(r12.select(lab("r", i).alias("src"), lab("r", (i + 1) % 12).alias("dst")))
+    )
+
+
+def q_kcore(spark, sf_dir):
+    """4-core via simultaneous peeling (edge set strictly shrinks; count()
+    is the fixpoint test) vs DuckDB running the identical peeling unrolled
+    into 8 MATERIALIZED CTE rounds — rounds past the fixpoint are no-ops,
+    so the unroll depth only has to cover the fixture's ~6-round cascade."""
+    from .operators.graph import kcore
+
+    return kcore(_kcore_fixture_edges(spark), k=4)
+
+
+def _sql_kcore():
+    from .operators.graph import kcore_oracle_sql
+
+    return kcore_oracle_sql(_KCORE_EDGES_SQL, k=4, rounds=8)
+
+
+SPARK_QUERIES["kcore_hosts"] = q_kcore
+SQL_ORACLES["kcore_hosts"] = _sql_kcore()

@@ -292,3 +292,82 @@ def test_link_networks_golden(spark):
         "y": ("x", 3, 1, 1, 0),
         "z": ("x", 3, 0, 1, 0),
     }
+
+
+# --- kcore (dense-core link-farm detection) ---
+
+
+def _naive_kcore(edges, k):
+    """Textbook simultaneous peeling on Python sets."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    while True:
+        drop = {n for n, ns in adj.items() if len(ns) < k}
+        if not drop:
+            break
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    return {n: len(ns) for n, ns in adj.items() if ns}
+
+
+def _spark_kcore(spark, edges, k):
+    from link_profiler_repo_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(edges, schema="src string, dst string")
+    return {r["node"]: r["core_deg"] for r in kcore(df, k=k).collect()}
+
+
+def test_kcore_clique_survives_chain_peels(spark):
+    # K5 clique (degree 4) + a 4-node tail hanging off one clique member:
+    # at k=3 the tail cascades away round by round, the clique stays intact
+    clique = [(f"q{i}", f"q{j}") for i in range(5) for j in range(i + 1, 5)]
+    tail = [("q0", "t0"), ("t0", "t1"), ("t1", "t2"), ("t2", "t3")]
+    got = _spark_kcore(spark, clique + tail, k=3)
+    assert got == {f"q{i}": 4 for i in range(5)}
+
+
+def test_kcore_empty_when_k_exceeds_density(spark):
+    ring = [(f"r{i}", f"r{(i + 1) % 6}") for i in range(6)]
+    assert _spark_kcore(spark, ring, k=3) == {}
+
+
+def test_kcore_matches_naive_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (f"n{rng.randrange(n)}", f"n{rng.randrange(n)}") for _ in range(160)
+        ]
+        for k in (2, 3):
+            assert _spark_kcore(spark, edges, k) == _naive_kcore(edges, k), (
+                trial,
+                k,
+            )
+
+
+def test_kcore_oracle_unroll_is_idempotent_past_fixpoint():
+    """Extra unrolled rounds must be no-ops: the gate oracle's safety
+    argument. DuckDB runs the same fixture at 8 and 14 rounds."""
+    import duckdb
+
+    from link_profiler_repo_spark.operators.graph import kcore_oracle_sql
+    from link_profiler_repo_spark.queries import _KCORE_EDGES_SQL
+
+    con = duckdb.connect()
+    a = con.execute(
+        kcore_oracle_sql(_KCORE_EDGES_SQL, k=4, rounds=8)
+        + " ORDER BY node"
+    ).fetchall()
+    b = con.execute(
+        kcore_oracle_sql(_KCORE_EDGES_SQL, k=4, rounds=14)
+        + " ORDER BY node"
+    ).fetchall()
+    assert a == b and len(a) == 30
