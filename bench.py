@@ -95,11 +95,18 @@ def synth_seen(spark, n: int):
     return ids.select(F.sha2(url, 256).alias("url_hash"))
 
 
-BENCH_BUCKETS = 32
+# state-table bucket count (Iceberg bucket(N, url_hash) rendering). On a real
+# cluster N grows with the table (10^10 rows => thousands of buckets) so
+# per-bucket volume stays constant; overriding it here is how the size sweep
+# holds per-task volume fixed while the frontier grows.
+BENCH_BUCKETS = int(os.environ.get("BENCH_FRONTIER_BUCKETS", "32"))
 
 
 def ensure_frontier_input(
-    spark, n_frontier: int | None = None, n_seen: int | None = None
+    spark,
+    n_frontier: int | None = None,
+    n_seen: int | None = None,
+    buckets: int | None = None,
 ) -> tuple[str, str]:
     """Materialize the synthetic frontier + seen tables ONCE as CO-BUCKETED
     parquet state tables (bucket(32, url_hash) — the Iceberg layout the
@@ -108,13 +115,16 @@ def ensure_frontier_input(
     work). Reused across parallelism levels so both read identical bytes."""
     nf = n_frontier if n_frontier is not None else N_FRONTIER
     ns = n_seen if n_seen is not None else N_SEEN
+    nb = buckets if buckets is not None else BENCH_BUCKETS
     # layout-versioned dir names: a stale cache from an older layout must
-    # never be silently reused after a format change
-    fdir = os.path.join(FRONTIER_PQ, f"frontier_bin1f_{nf}")
-    sdir = os.path.join(FRONTIER_PQ, f"seen_bin1f_{ns}")
+    # never be silently reused after a format change (non-default bucket
+    # counts get their own suffix for the same reason)
+    bsuf = "" if nb == 32 else f"_b{nb}"
+    fdir = os.path.join(FRONTIER_PQ, f"frontier_bin1f_{nf}{bsuf}")
+    sdir = os.path.join(FRONTIER_PQ, f"seen_bin1f_{ns}{bsuf}")
     for name, gen, loc in (
-        (f"bench_frontier_gen_{nf}", lambda: synth_frontier(spark, nf), fdir),
-        (f"bench_seen_gen_{ns}", lambda: synth_seen(spark, ns), sdir),
+        (f"bench_frontier_gen_{nf}{bsuf}", lambda: synth_frontier(spark, nf), fdir),
+        (f"bench_seen_gen_{ns}{bsuf}", lambda: synth_seen(spark, ns), sdir),
     ):
         if not os.path.isdir(loc):
             (
@@ -126,9 +136,9 @@ def ensure_frontier_input(
                 # pre-sorted rows with no in-task Sort (an Iceberg compacted
                 # bucket file has the same property).
                 gen().withColumn("url_hash", F.unhex("url_hash"))
-                .repartition(BENCH_BUCKETS, "url_hash")
+                .repartition(nb, "url_hash")
                 .write.mode("overwrite")
-                .bucketBy(BENCH_BUCKETS, "url_hash")
+                .bucketBy(nb, "url_hash")
                 .sortBy("url_hash")
                 .option("path", loc)
                 .saveAsTable(name)
@@ -500,8 +510,11 @@ def _frontier_epoch_inprocess(cores: int) -> dict:
     from link_profiler_repo_spark.session import get_spark
 
     # IDENTICAL shuffle partitioning at both levels (BASELINE.md: matching
-    # spark.sql.shuffle.partitions) so the plans are the same modulo cores
-    parts = int(os.environ.get("BENCH_SHUFFLE_PARTITIONS", "32"))
+    # spark.sql.shuffle.partitions) so the plans are the same modulo cores.
+    # Defaults to the bucket count: partitions != buckets would trade the
+    # zero-Exchange bucketed anti-join for two full reshuffles (measured 1.6x
+    # CPU at 256M rows).
+    parts = int(os.environ.get("BENCH_SHUFFLE_PARTITIONS", str(BENCH_BUCKETS)))
     evdir = tempfile.mkdtemp(prefix="bench_evlog_")
     spark = get_spark(
         app=f"frontier-bench-{cores}", cores=cores, shuffle_partitions=parts,
@@ -569,7 +582,7 @@ def frontier_epoch_bench(cores: int, repeats: int = 2) -> dict:
 
 
 def frontier_size_sweep(
-    cores: int, sizes: list[int], rounds: int = 3
+    cores: int, sizes: list[int], rounds: int = 3, scale_buckets: bool = False
 ) -> dict:
     """Frontier-SIZE linearity at FIXED parallelism: the 10^10 claim's other
     axis. The N-vs-4N pair shows throughput scales with cores at one size;
@@ -587,10 +600,21 @@ def frontier_size_sweep(
 
     from link_profiler_repo_spark.session import get_spark
 
+    def _buckets(n: int) -> int:
+        # scale_buckets=True holds PER-BUCKET volume constant as the
+        # frontier grows — the Iceberg bucket(N) sizing a real 10^10 table
+        # uses (thousands of buckets), and the condition under which
+        # per-URL cost is flat in size. False = fixed 32 buckets, so
+        # per-task volume grows with the frontier (measures how the job
+        # degrades when the layout is NOT rescaled).
+        return BENCH_BUCKETS * (n // sizes[0]) if scale_buckets else BENCH_BUCKETS
+
     spark = get_spark(app="sweep-gen", cores=CPUS, shuffle_partitions=CPUS * 2)
     try:
         for n in sizes:
-            ensure_frontier_input(spark, n_frontier=n, n_seen=n // 2)
+            ensure_frontier_input(
+                spark, n_frontier=n, n_seen=n // 2, buckets=_buckets(n)
+            )
     finally:
         spark.stop()
     cmd = [sys.executable, os.path.abspath(__file__), "--frontier", str(cores)]
@@ -603,6 +627,7 @@ def frontier_size_sweep(
                 os.environ,
                 BENCH_FRONTIER_URLS=str(n),
                 BENCH_SEEN_URLS=str(n // 2),
+                BENCH_FRONTIER_BUCKETS=str(_buckets(n)),
             )
             out = subprocess.run(
                 cmd, capture_output=True, text=True, check=True, env=env
@@ -614,6 +639,8 @@ def frontier_size_sweep(
     return {
         "cores": cores,
         "rounds": rounds,
+        "scale_buckets": scale_buckets,
+        "buckets": [_buckets(n) for n in sizes],
         "sizes": [best[n] for n in sizes],
         "linearity": [
             round(best[n]["urls_per_sec"] / base, 3) for n in sizes
@@ -1160,12 +1187,17 @@ if __name__ == "__main__":
         # frontier-size linearity evidence (not part of the per-round driver
         # run — results are recorded in BENCH/BASELINE.md):
         #   python bench.py --size-sweep [cores] [size ...]
+        # BENCH_SWEEP_SCALE_BUCKETS=1 scales the bucket count with size
+        # (constant per-bucket volume — the 10^10 layout condition).
         sw_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 16
         sw_sizes = (
             [int(x) for x in sys.argv[3:]]
             if len(sys.argv) > 3
             else [64_000_000, 256_000_000]
         )
-        print(json.dumps(frontier_size_sweep(sw_cores, sw_sizes)))
+        print(json.dumps(frontier_size_sweep(
+            sw_cores, sw_sizes,
+            scale_buckets=os.environ.get("BENCH_SWEEP_SCALE_BUCKETS") == "1",
+        )))
     else:
         main()
