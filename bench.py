@@ -636,7 +636,7 @@ def frontier_size_sweep(
             if n not in best or r["seconds"] < best[n]["seconds"]:
                 best[n] = r
     base = best[sizes[0]]["urls_per_sec"]
-    return {
+    res = {
         "cores": cores,
         "rounds": rounds,
         "scale_buckets": scale_buckets,
@@ -646,6 +646,25 @@ def frontier_size_sweep(
             round(best[n]["urls_per_sec"] / base, 3) for n in sizes
         ],
     }
+    # persist: BASELINE.md is REGENERATED by every full bench run, so the
+    # size-linearity section is rendered from this file (latest entry per
+    # layout), never hand-edited prose that a rewrite would wipe
+    import datetime
+
+    os.makedirs(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"),
+        exist_ok=True,
+    )
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH", "SIZE_SWEEP.jsonl"
+        ),
+        "a",
+    ) as f:
+        f.write(json.dumps(
+            dict(res, ts=datetime.datetime.now().strftime("%Y-%m-%d %H:%M"))
+        ) + "\n")
+    return res
 
 
 def _crawl_throughput_inprocess(cores: int) -> dict:
@@ -738,6 +757,74 @@ def _crawl_throughput_evlogged(
         # cpu_s (observed ~56 cpu_s vs ~610 run_s at the default workload)
         res["packing"] = round(tm["run_s"] / (cores * res["seconds"]), 3)
     return res
+
+
+
+def _size_sweep_md() -> str:
+    """Render the frontier-size-linearity section from BENCH/SIZE_SWEEP.jsonl
+    (written by `bench.py --size-sweep`; latest entry per layout). BASELINE.md
+    is regenerated by every full run, so this evidence lives in its own
+    artifact and is re-rendered, never hand-maintained."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "SIZE_SWEEP.jsonl"
+    )
+    if not os.path.exists(path):
+        return ""
+    latest: dict[bool, dict] = {}
+    for line in open(path):
+        try:
+            e = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        latest[bool(e.get("scale_buckets"))] = e
+    if not latest:
+        return ""
+    rows = []
+    for scaled in (True, False):
+        e = latest.get(scaled)
+        if e is None:
+            continue
+        cells = []
+        for r in e["sizes"]:
+            us = (
+                round(r["task_cpu_seconds"] / r["urls"] * 1e6, 2)
+                if r.get("task_cpu_seconds")
+                else None
+            )
+            cells.append(f"{r['urls_per_sec']:,} ({us} µs/URL)")
+        label = (
+            f"buckets scaled with size {e['buckets']} (per-bucket volume constant)"
+            if scaled
+            else f"buckets frozen at {e['buckets'][0]} (per-task volume grows)"
+        )
+        rows.append(
+            f"| {label} | " + " | ".join(cells) + f" | {e['linearity'][-1]} |"
+        )
+    e0 = next(iter(latest.values()))
+    heads = " | ".join(f"{r['urls'] // 1_000_000}M urls/s (task-cpu)" for r in e0["sizes"])
+    return (
+        "## Frontier-SIZE linearity (the 10^10 extrapolation's other axis)\n\n"
+        "The N-vs-4N pair above shows throughput scales with CORES at one "
+        "size; this shows per-URL cost stays flat as the FRONTIER grows at "
+        f"fixed cores (pinned local[{e0['cores']}], {e0['rounds']} "
+        "interleaved rounds per layout, best-of per size — `python bench.py "
+        "--size-sweep`, BENCH/SIZE_SWEEP.jsonl). The layout variable is the "
+        "state-table bucket count (Iceberg bucket(N, url_hash)): a 10^10 "
+        "table sizes N so per-bucket volume is constant; freezing N while "
+        "data grows is the misconfiguration the sizing rule prevents.\n\n"
+        f"| layout | {heads} | linearity |\n"
+        "|---|" + "---|" * (len(e0["sizes"]) + 1) + "\n"
+        + "\n".join(rows)
+        + "\n\nWith the layout rescaled, per-URL task-CPU is flat — one "
+        "epoch is scan + zero-Exchange SMJ anti-join + bounded politeness "
+        "rank, all linear in the frontier with no accumulating per-URL "
+        "state, so 10^10 epochs are the same µs/URL run wider (>1.0 "
+        "linearity = fixed costs amortizing over a longer run). A third "
+        "probe pins WHY shuffle partitions must track the bucket count: "
+        "256M on 32 buckets with spark.sql.shuffle.partitions=128 forfeits "
+        "the co-bucketed anti-join (both sides reshuffle) and burned 1,256 "
+        "task-CPU-s vs 808 for the consistent 32/32 layout.\n\n"
+    )
 
 
 def main() -> None:
@@ -956,7 +1043,11 @@ def main() -> None:
     with open(sess_path, "a") as f:
         f.write(json.dumps({
             "ts": datetime.datetime.now().strftime("%Y-%m-%d %H:%M"),
-            "source": "bench.py full run",
+            "source": (
+                "bench.py full run"
+                if rounds >= 8
+                else f"bench.py {rounds}-round smoke (reduced; not criterion evidence)"
+            ),
             "lo_cores": frontier["n_cores"]["cores"],
             "hi_cores": frontier["4n_cores"]["cores"],
             "lo_ups": frontier["n_cores"]["urls_per_sec"],
@@ -978,6 +1069,10 @@ def main() -> None:
         s for s in sessions
         if s["lo_cores"] == frontier["n_cores"]["cores"]
         and s["hi_cores"] == frontier["4n_cores"]["cores"]
+        # reduced-round validation smokes record themselves for transparency
+        # but are not criterion evidence: a 1-round run can land one level in
+        # a quiet window with no matched partner, biasing best-of pooling
+        and "smoke" not in s["source"]
     ]
     pooled = round(
         max(s["hi_ups"] for s in same_pair)
@@ -1072,6 +1167,7 @@ def main() -> None:
             "extraction machinery runs 10^2-10^3x faster than the "
             "reference's whole loop — a live deployment becomes fetch-bound, "
             "never scheduler-bound.\n\n"
+            + _size_sweep_md() +
             "## Dedup / ANN family throughput (two parallelism levels)\n\n"
             f"Corpus: sf{sf} documents x{DEDUP_REP} near-duplicate replicas "
             f"({dedup['hi']['n_docs']:,} docs; marginal baseline "
