@@ -11,6 +11,13 @@ through the exact-dedup anti-join + salted politeness rank — run at two local
 parallelism levels (N and 4N cores, matching shuffle partitions) on identical
 input, as the sandbox rendering of the two-cluster-size criterion. Results are
 also written to BENCH/BASELINE.md.
+
+Extra one-shot evidence modes (not part of the per-round driver run):
+  --frontier N / --crawl N / --dedup N / --graph N   one kernel, one level
+  --size-sweep [cores] [size ...]   frontier-SIZE linearity (64M vs 256M);
+      BENCH_SWEEP_SCALE_BUCKETS=1 scales bucket count with size (constant
+      per-bucket volume — the Iceberg bucket(N) sizing rule); results append
+      to BENCH/SIZE_SWEEP.jsonl, rendered into BASELINE.md by full runs
 """
 
 from __future__ import annotations
