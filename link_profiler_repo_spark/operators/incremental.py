@@ -1,0 +1,111 @@
+"""Incremental profile maintenance — delta-merge rollups that never
+recompute the world.
+
+The reference rebuilds a LinkProfile from ALL of a target's backlinks on
+every request (`create_link_profile_from_backlinks`, core/models.py:449-491,
+re-queried per call at services/crawl_service.py:656-707). The batch analog
+`operators/profile.py` is likewise a full recompute. Neither shape survives
+10^10 edges arriving epoch by epoch: the per-epoch cost must be proportional
+to the DELTA, not the accumulated table.
+
+This module maintains profiles as two state tables updated per batch:
+
+- additive counters (counts, conditional counts, integer-cent sums): the
+  batch is pre-aggregated per key (partial agg, map-side combine) and merged
+  into the stored counters with one keyed full-outer join — an Iceberg
+  `MERGE INTO ... WHEN MATCHED THEN UPDATE SET n = t.n + s.n` in table
+  terms. Cost per epoch: O(|batch| + |touched keys|).
+- distinct counts (unique referring domains): COUNT(DISTINCT) is not
+  additive, so the state is the distinct PAIR table (key, member); a
+  batch's NEW pairs are its distinct pairs anti-joined against the store
+  (the same delta-anti-join shape as the crawl loop's seen-set), and the
+  per-key count of new pairs increments the stored counter exactly. The
+  pair table is the canonical exact-distinct state at scale — the sketch
+  alternative (HLL) trades it for fixed size but loses exactness, which the
+  profile contract requires (SURVEY §2.4 A1).
+
+Both joins key on the profile key, so with the state tables bucketed by key
+(sources/bucketed.py layout) the merge exchanges only the batch side.
+The gate oracle is adversarial-by-construction: DuckDB computes the same
+profiles as ONE full groupBy over the union of all batches — a different
+algorithm whose fixpoint the incremental fold must hit exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def merge_counters(
+    stored: DataFrame | None, delta: DataFrame, key_col: str
+) -> DataFrame:
+    """Merge a per-key pre-aggregated delta into the stored counter table:
+    full-outer join on key_col, every other (numeric) column summed with
+    null-as-zero. Column set is taken from `delta`; `stored` must carry the
+    same columns (None = empty store, first batch)."""
+    if stored is None:
+        return delta
+    # union of both column sets: the first batch's store lacks counters that
+    # later deltas introduce (e.g. the distinct counter lands one merge after
+    # the additive ones), and a delta never carries counters it didn't touch
+    cols = [c for c in stored.columns if c != key_col]
+    cols += [c for c in delta.columns if c != key_col and c not in cols]
+    s = stored.alias("s")
+    d = delta.alias("d")
+
+    def side(alias: str, have: list[str], c: str):
+        return F.col(f"{alias}.{c}") if c in have else F.lit(None)
+
+    return s.join(d, F.col(f"s.{key_col}") == F.col(f"d.{key_col}"), "full_outer").select(
+        F.coalesce(F.col(f"s.{key_col}"), F.col(f"d.{key_col}")).alias(key_col),
+        *[
+            (
+                F.coalesce(side("s", stored.columns, c), F.lit(0))
+                + F.coalesce(side("d", delta.columns, c), F.lit(0))
+            ).alias(c)
+            for c in cols
+        ],
+    )
+
+
+def new_distinct_pairs(
+    stored_pairs: DataFrame | None, batch: DataFrame, key_col: str, member_col: str
+) -> DataFrame:
+    """The batch's distinct (key, member) pairs not yet in the store — the
+    exact increment set for a distinct counter. Delta anti-join: cost scales
+    with the batch, and with the pair table bucketed on key only the batch
+    side exchanges."""
+    bp = batch.select(key_col, member_col).distinct()
+    if stored_pairs is None:
+        return bp
+    return bp.join(stored_pairs, [key_col, member_col], "left_anti")
+
+
+def fold_profile_batch(
+    state: tuple[DataFrame | None, DataFrame | None],
+    batch: DataFrame,
+    key_col: str,
+    member_col: str,
+    agg_exprs: list,
+) -> tuple[DataFrame, DataFrame]:
+    """One incremental epoch: (counters, pairs) + batch -> (counters',
+    pairs'). `agg_exprs` are the additive per-key aggregates (aliased
+    columns) computed over the batch; a `distinct_{member_col}` counter is
+    maintained from the pair-table delta. Each returned table should be
+    written back to its state table (checkpointed here for the in-memory
+    fold, truncating lineage exactly like the crawl loop's epoch tables)."""
+    counters, pairs = state
+    delta = batch.groupBy(key_col).agg(*agg_exprs)
+    new_pairs = new_distinct_pairs(pairs, batch, key_col, member_col)
+    uniq_delta = new_pairs.groupBy(key_col).agg(
+        F.count("*").alias(f"distinct_{member_col}")
+    )
+    counters2 = merge_counters(
+        merge_counters(counters, delta, key_col), uniq_delta, key_col
+    )
+    pairs2 = new_pairs if pairs is None else pairs.unionByName(new_pairs)
+    return (
+        counters2.localCheckpoint(eager=True),
+        pairs2.localCheckpoint(eager=True),
+    )

@@ -2427,3 +2427,199 @@ def _sql_kcore():
 
 SPARK_QUERIES["kcore_hosts"] = q_kcore
 SQL_ORACLES["kcore_hosts"] = _sql_kcore()
+
+
+# ---------------------------------------------------------------------------
+# Training-data mixture sampling (operators/sampling.py): deterministic
+# md5-threshold sampling, relationally-derived mixture rates, token-budget
+# greedy packing — the corpus-composition steps of an LLM data build (no
+# reference counterpart; added LLM-pipeline family)
+# ---------------------------------------------------------------------------
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic sample (en half, de all, es quarter,
+    zh 10%, fr unlisted -> dropped). Membership is a pure function of
+    md5('mix|'||doc_id), so DuckDB re-derives it from the same string
+    bytes — no exported state, the strongest oracle form."""
+    from .operators.sampling import stratified_sample
+
+    d = load(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        d,
+        id_col="doc_id",
+        strata_col="lang",
+        rates={"en": 0.5, "de": 1.0, "es": 0.25, "zh": 0.1},
+        default_rate=0.0,
+        salt="mix",
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
+def _sql_stratified_sample() -> str:
+    from .operators.sampling import rate_threshold_hex
+
+    return f"""
+SELECT doc_id, lang, source
+FROM (SELECT *, substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) AS k
+      FROM documents)
+WHERE (lang = 'en' AND k < '{rate_threshold_hex(0.5)}')
+   OR (lang = 'de')
+   OR (lang = 'es' AND k < '{rate_threshold_hex(0.25)}')
+   OR (lang = 'zh' AND k < '{rate_threshold_hex(0.1)}')
+"""
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Target-mixture sampling: per-language rates DERIVED from target
+    proportions (rate = min(1, total*target/count), availability-capped),
+    broadcast back, admitted by the hash threshold. DuckDB re-derives the
+    counts, the double-precision rate arithmetic, the printf-rendered
+    per-row threshold, and membership — end to end."""
+    from .operators.sampling import mixture_sample
+
+    d = load(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        d,
+        id_col="doc_id",
+        strata_col="lang",
+        targets={"en": 0.5, "zh": 0.3, "fr": 0.2},
+        total_rows=200.0,
+        salt="mix",
+    )
+    return kept.select("doc_id", "lang")
+
+
+SQL_MIXTURE_SAMPLE = """
+WITH t(lang, tgt) AS (VALUES ('en', 0.5), ('fr', 0.2), ('zh', 0.3)),
+c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+r AS (
+  SELECT c.lang, LEAST(1.0, 200.0 * t.tgt / c.n) AS rate
+  FROM c JOIN t ON c.lang = t.lang
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE r.rate >= 1.0
+   OR (r.rate > 0.0
+       AND substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+           < printf('%08x', CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT)))
+"""
+
+
+def q_token_budget_pack(spark, sf_dir):
+    """Greedy per-language token-budget packing in deterministic hash-shuffle
+    order. The engine runs the two-level distributed prefix sum (16 hash
+    buckets per stratum + an offsets join — no stratum is ever sorted on one
+    partition); DuckDB runs the naive single-window cumulative sum — a
+    different algorithm that must produce the identical running totals and
+    keep set."""
+    from .operators.sampling import token_budget_pack
+    from .operators import textops
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", textops.token_count(F.col("text"))
+    )
+    packed = token_budget_pack(
+        d,
+        id_col="doc_id",
+        strata_col="lang",
+        tokens_col="n_tokens",
+        budget=5000,
+        salt="pack",
+    )
+    return packed.select(
+        "doc_id", "lang", "n_tokens", "cum_tokens",
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+SQL_TOKEN_BUDGET_PACK = """
+WITH w AS (
+  SELECT doc_id, lang,
+         len(list_filter(
+           string_split_regex(
+             lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')), '\\s+'
+           ), x -> length(x) > 0)) AS n_tokens,
+         substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8) AS k
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(SUM(n_tokens) OVER (
+         PARTITION BY lang ORDER BY k, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_tokens,
+       CAST(SUM(n_tokens) OVER (
+         PARTITION BY lang ORDER BY k, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) <= 5000 AS INT) AS keep
+FROM w
+"""
+
+
+SPARK_QUERIES["stratified_sample"] = q_stratified_sample
+SQL_ORACLES["stratified_sample"] = _sql_stratified_sample()
+SPARK_QUERIES["mixture_sample"] = q_mixture_sample
+SQL_ORACLES["mixture_sample"] = SQL_MIXTURE_SAMPLE
+SPARK_QUERIES["token_budget_pack"] = q_token_budget_pack
+SQL_ORACLES["token_budget_pack"] = SQL_TOKEN_BUDGET_PACK
+
+
+# ---------------------------------------------------------------------------
+# Incremental profile maintenance (operators/incremental.py): the A1 rollup
+# maintained as per-batch delta merges (counters + distinct-pair state)
+# instead of a full recompute — the only shape that survives 10^10 edges
+# arriving epoch by epoch
+# ---------------------------------------------------------------------------
+
+def q_incremental_profile(spark, sf_dir):
+    """Fold orders in 3 batches (o_orderkey % 3) through the incremental
+    profile state: additive counters merged per batch, distinct statuses
+    maintained exactly via the pair-table delta anti-join. The oracle is a
+    different algorithm entirely — ONE full groupBy over all batches — whose
+    fixpoint the fold must hit exactly, including keys that appear in only
+    one batch and distinct members that repeat across batches."""
+    from .operators.incremental import fold_profile_batch
+
+    o = load(spark, sf_dir, "orders")
+    aggs = [
+        F.count("*").alias("total_orders"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias(
+            "urgent_cnt"
+        ),
+        F.sum(F.when(F.col("o_orderpriority") == "2-HIGH", 1).otherwise(0)).alias(
+            "high_cnt"
+        ),
+        # integer cents (exact, order-independent — see q_profile_rollup)
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+            "spend_cents"
+        ),
+    ]
+    state: tuple = (None, None)
+    for i in range(3):
+        batch = o.filter(F.col("o_orderkey") % 3 == i)
+        state = fold_profile_batch(
+            state, batch, key_col="o_custkey", member_col="o_orderstatus",
+            agg_exprs=aggs,
+        )
+    counters, _pairs = state
+    return counters.select(
+        F.col("o_custkey").alias("custkey"),
+        "total_orders",
+        F.col("distinct_o_orderstatus").alias("n_statuses"),
+        "urgent_cnt",
+        "high_cnt",
+        (F.col("spend_cents") / 100.0).cast("double").alias("total_spend"),
+    )
+
+
+SQL_INCREMENTAL_PROFILE = """
+SELECT o_custkey AS custkey,
+       COUNT(*) AS total_orders,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_cnt,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS total_spend
+FROM orders GROUP BY o_custkey
+"""
+
+SPARK_QUERIES["incremental_profile"] = q_incremental_profile
+SQL_ORACLES["incremental_profile"] = SQL_INCREMENTAL_PROFILE

@@ -1,0 +1,251 @@
+"""Unit + property tests for the mixture-sampling and incremental-profile
+operators (operators/sampling.py, operators/incremental.py). The naive twins
+here are plain Python (hashlib md5 + greedy loops / dict folds) — a third
+derivation independent of both the Spark plans and the DuckDB gate oracles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from link_profiler_repo_spark.operators.incremental import (
+    fold_profile_batch,
+    merge_counters,
+)
+from link_profiler_repo_spark.operators.sampling import (
+    SCALE,
+    deterministic_sample,
+    mixture_rates,
+    mixture_sample,
+    rate_threshold_hex,
+    stratified_sample,
+    token_budget_pack,
+)
+
+
+def _key(salt: str, i: int) -> str:
+    return hashlib.md5(f"{salt}|{i}".encode()).hexdigest()[:8]
+
+
+def _kept(salt: str, i: int, rate: float) -> bool:
+    return int(_key(salt, i), 16) < int(rate * SCALE)
+
+
+# ---------------------------------------------------------------------------
+# deterministic_sample
+# ---------------------------------------------------------------------------
+
+def test_deterministic_sample_matches_python_md5(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    got = sorted(
+        r.doc_id for r in deterministic_sample(df, "doc_id", 0.3, salt="s").collect()
+    )
+    want = sorted(i for i in range(1000) if _kept("s", i, 0.3))
+    assert got == want
+    # uniformity sanity: 1000 draws at 0.3 should land well inside +-5 sigma
+    assert 230 <= len(got) <= 370
+
+
+def test_samples_nest_across_rates(spark):
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    small = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.1, salt="n").collect()}
+    big = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.4, salt="n").collect()}
+    assert small <= big  # threshold monotonicity: the 10% sample nests in the 40%
+
+
+def test_rate_edges(spark):
+    df = spark.range(50).withColumnRenamed("id", "doc_id")
+    assert deterministic_sample(df, "doc_id", 1.0).count() == 50
+    assert deterministic_sample(df, "doc_id", 0.0).count() == 0
+    assert rate_threshold_hex(0.5) == "80000000"
+    assert rate_threshold_hex(0.0) == "00000000"
+
+
+# ---------------------------------------------------------------------------
+# stratified / mixture
+# ---------------------------------------------------------------------------
+
+def _docs(spark, n=600):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("L"), (F.col("id") % 3).cast("string")).alias("lang"),
+    )
+
+
+def test_stratified_sample_respects_per_stratum_rates(spark):
+    d = _docs(spark)
+    kept = stratified_sample(
+        d, "doc_id", "lang", {"L0": 1.0, "L1": 0.25}, default_rate=0.0, salt="st"
+    ).collect()
+    by_lang: dict[str, set] = {}
+    for r in kept:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by_lang.get("L0", ())) == 200  # rate 1: everything
+    assert "L2" not in by_lang  # unlisted stratum: default 0
+    want_l1 = {i for i in range(600) if i % 3 == 1 and _kept("st", i, 0.25)}
+    assert by_lang.get("L1", set()) == want_l1
+
+
+def test_mixture_rates_values_and_cap(spark):
+    d = _docs(spark)  # 200 per stratum
+    rates = {
+        r.lang: r.rate
+        for r in mixture_rates(d, "lang", {"L0": 0.5, "L1": 0.1}, 300.0).collect()
+    }
+    assert rates["L0"] == pytest.approx(300.0 * 0.5 / 200)
+    assert rates["L1"] == pytest.approx(300.0 * 0.1 / 200)
+    # availability cap: a target bigger than the stratum clamps to 1
+    capped = {
+        r.lang: r.rate
+        for r in mixture_rates(d, "lang", {"L0": 1.0}, 900.0).collect()
+    }
+    assert capped["L0"] == 1.0
+
+
+def test_mixture_sample_membership_matches_python(spark):
+    d = _docs(spark)
+    kept = mixture_sample(
+        d, "doc_id", "lang", {"L0": 0.6, "L2": 0.4}, total_rows=250.0, salt="mx"
+    ).collect()
+    got = {(r.lang, r.doc_id) for r in kept}
+    want = set()
+    for i in range(600):
+        lang = f"L{i % 3}"
+        rate = {"L0": 250.0 * 0.6 / 200, "L2": 250.0 * 0.4 / 200}.get(lang)
+        if rate is not None and _kept("mx", i, min(rate, 1.0)):
+            want.add((lang, i))
+    assert got == want
+    assert not any(lang == "L1" for lang, _ in got)  # untargeted stratum dropped
+
+
+# ---------------------------------------------------------------------------
+# token_budget_pack vs a naive Python greedy loop
+# ---------------------------------------------------------------------------
+
+def _naive_pack(rows, budget, salt):
+    """rows: (doc_id, lang, tokens). Greedy prefix per stratum in
+    (md5 key, id) order — the single-threaded algorithm the two-level
+    prefix sum must reproduce exactly."""
+    out = {}
+    by_lang: dict[str, list] = {}
+    for i, lang, tok in rows:
+        by_lang.setdefault(lang, []).append((_key(salt, i), i, tok))
+    for lang, items in by_lang.items():
+        cum = 0
+        for _, i, tok in sorted(items):
+            cum += tok
+            out[i] = (cum, cum <= budget)
+    return out
+
+
+@pytest.mark.parametrize("budget", [0, 37, 500, 10**9])
+def test_token_budget_pack_equals_naive_greedy(spark, budget):
+    rows = [(i, f"L{i % 4}", (i * 7919) % 23 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, tokens long")
+    got = {
+        r.doc_id: (r.cum_tokens, r.keep)
+        for r in token_budget_pack(
+            df, "doc_id", "lang", "tokens", budget, salt="pk"
+        ).collect()
+    }
+    assert got == _naive_pack(rows, budget, "pk")
+
+
+def test_token_budget_pack_keeps_greedy_prefix_property(spark):
+    # every kept doc's running total fits; every dropped doc's doesn't
+    rows = [(i, "x", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, tokens long")
+    out = token_budget_pack(df, "doc_id", "lang", "tokens", 250, salt="q").collect()
+    kept = [r for r in out if r.keep]
+    assert len(kept) == 25  # 25 * 10 == 250 fits exactly
+    assert max(r.cum_tokens for r in kept) == 250
+
+
+# ---------------------------------------------------------------------------
+# incremental profile fold vs full recompute
+# ---------------------------------------------------------------------------
+
+def _full_recompute(rows):
+    """rows: (key, member, flag, cents). Dict-based one-pass rollup."""
+    out: dict[int, dict] = {}
+    for k, m, fl, cents in rows:
+        s = out.setdefault(
+            k, {"n": 0, "members": set(), "flagged": 0, "cents": 0}
+        )
+        s["n"] += 1
+        s["members"].add(m)
+        s["flagged"] += int(fl)
+        s["cents"] += cents
+    return {
+        k: (s["n"], len(s["members"]), s["flagged"], s["cents"])
+        for k, s in out.items()
+    }
+
+
+def _fold(spark, batches):
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("flag"), 1).otherwise(0)).alias("flagged"),
+        F.sum("cents").alias("cents"),
+    ]
+    state = (None, None)
+    for b in batches:
+        df = spark.createDataFrame(
+            b, "key long, member string, flag boolean, cents long"
+        )
+        state = fold_profile_batch(
+            state, df, key_col="key", member_col="member", agg_exprs=aggs
+        )
+    counters, pairs = state
+    return counters, pairs
+
+
+def test_incremental_fold_equals_full_recompute(spark):
+    import random
+
+    rng = random.Random(42)
+    batches = []
+    allrows = []
+    for _ in range(5):
+        b = [
+            (
+                rng.randrange(20),
+                f"m{rng.randrange(6)}",
+                rng.random() < 0.3,
+                rng.randrange(1000),
+            )
+            for _ in range(rng.randrange(1, 80))
+        ]
+        batches.append(b)
+        allrows.extend(b)
+    counters, pairs = _fold(spark, batches)
+    got = {
+        r.key: (r.n, r.distinct_member, r.flagged, r.cents)
+        for r in counters.collect()
+    }
+    assert got == _full_recompute(allrows)
+    # the pair state is exactly the distinct (key, member) set
+    assert pairs.count() == pairs.distinct().count() == len(
+        {(k, m) for k, m, _, _ in allrows}
+    )
+
+
+def test_incremental_fold_single_batch_key_and_cross_batch_members(spark):
+    batches = [
+        [(1, "a", True, 10), (1, "b", False, 5)],
+        [(1, "a", False, 7), (2, "z", True, 1)],  # 'a' repeats: no distinct bump
+    ]
+    counters, _ = _fold(spark, batches)
+    got = {r.key: (r.n, r.distinct_member, r.flagged, r.cents) for r in counters.collect()}
+    assert got == {1: (3, 2, 1, 22), 2: (1, 1, 1, 1)}
+
+
+def test_merge_counters_column_union(spark):
+    a = spark.createDataFrame([(1, 10)], "key long, x long")
+    b = spark.createDataFrame([(1, 2), (2, 3)], "key long, y long")
+    got = {r.key: (r.x, r.y) for r in merge_counters(a, b, "key").collect()}
+    # missing counters on either side read as 0, never dropped
+    assert got == {1: (10, 2), 2: (0, 3)}
