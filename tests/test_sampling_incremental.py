@@ -249,3 +249,64 @@ def test_merge_counters_column_union(spark):
     got = {r.key: (r.x, r.y) for r in merge_counters(a, b, "key").collect()}
     # missing counters on either side read as 0, never dropped
     assert got == {1: (10, 2), 2: (0, 3)}
+
+
+# ---------------------------------------------------------------------------
+# plan locks: the scale properties the operators were designed around
+# ---------------------------------------------------------------------------
+
+def test_sampling_plan_is_filter_on_scan(spark):
+    """stratified_sample is ONE scan + a codegen filter: no Exchange, no
+    join, and column pruning intact. (The md5 threshold is an expression
+    filter — not a parquet PushedFilter — but it runs inside the scan's
+    WholeStageCodegen stage, which is the property that matters.)"""
+    import os
+
+    from link_profiler_repo_spark.plans import (
+        count_exchanges,
+        physical_plan,
+        read_schema_columns,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    kept = stratified_sample(
+        d, "doc_id", "lang", {"en": 0.5}, salt="p"
+    ).select("doc_id", "lang")
+    assert count_exchanges(kept) == 0, physical_plan(kept)[:1500]
+    assert read_schema_columns(kept) == [{"doc_id", "lang"}]
+
+
+def test_mixture_sample_plan_broadcasts_rates(spark):
+    import os
+
+    from link_profiler_repo_spark.plans import has_broadcast_join
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    kept = mixture_sample(d, "doc_id", "lang", {"en": 0.5}, 100.0, salt="p")
+    assert has_broadcast_join(kept)
+
+
+def test_token_budget_pack_plan_has_no_single_partition_stage(spark):
+    """The two-level prefix sum never funnels the CORPUS through one
+    partition: the full-data cumulative window partitions by
+    (stratum, bucket) — 16-way parallel even for a single giant stratum —
+    and the only per-stratum window runs over the 16-row subtotal table.
+    (A constant-literal stratum column would constant-fold the subtotal
+    window's key into SinglePartition — still bounded at 16 rows, but the
+    test uses a real column like every caller.)"""
+    from link_profiler_repo_spark.plans import (
+        assert_no_single_partition_exchange,
+        physical_plan,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("L"), (F.col("id") % 2).cast("string")).alias("lang"),
+        (F.col("id") % 7 + 1).alias("tokens"),
+    )
+    out = token_budget_pack(df, "doc_id", "lang", "tokens", 100, salt="p")
+    assert_no_single_partition_exchange(out)
+    # and the heavy window really keys on (lang, _bkt), not lang alone
+    assert "hashpartitioning(lang" in physical_plan(out)
