@@ -42,8 +42,8 @@ def merge_counters(
 ) -> DataFrame:
     """Merge a per-key pre-aggregated delta into the stored counter table:
     full-outer join on key_col, every other (numeric) column summed with
-    null-as-zero. Column set is taken from `delta`; `stored` must carry the
-    same columns (None = empty store, first batch)."""
+    null-as-zero over the UNION of both column sets (None = empty store,
+    first batch)."""
     if stored is None:
         return delta
     # union of both column sets: the first batch's store lacks counters that
@@ -108,4 +108,56 @@ def fold_profile_batch(
     return (
         counters2.localCheckpoint(eager=True),
         pairs2.localCheckpoint(eager=True),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size alternative: mergeable HLL sketch state (monitoring tier)
+# ---------------------------------------------------------------------------
+# The exact pair table above is the PROFILE-contract path; for
+# monitoring-grade distinct counters (A13 — the reference uses in-memory
+# sets, monitoring/crawler_metrics.py:158) the pair table's O(distinct
+# pairs) state can be traded for a fixed ~2^lgk bytes per key: Spark's
+# Datasketches HLL aggregates are MERGEABLE (register-max is associative),
+# so per-batch sketches fold into stored state with one keyed join, same
+# MERGE shape as the counters, and estimates never require re-reading
+# history. Not SQL-oracle-able (sketch bytes are engine-internal) —
+# verified by pytest accuracy/determinism twins instead.
+
+
+def sketch_delta(
+    batch: DataFrame, key_col: str, member_col: str, lgk: int = 12
+) -> DataFrame:
+    """Per-key HLL sketch of the batch's members: (key, sketch binary)."""
+    return batch.groupBy(key_col).agg(
+        F.hll_sketch_agg(member_col, lgk).alias("sketch")
+    )
+
+
+def merge_sketches(
+    stored: DataFrame | None, delta: DataFrame, key_col: str
+) -> DataFrame:
+    """Fold a per-batch sketch table into the stored sketch state: keyed
+    full-outer join + register-wise union (null side passes the other
+    through — hll_union propagates nulls, so one-sided keys keep their
+    sketch)."""
+    if stored is None:
+        return delta
+    s = stored.alias("s")
+    d = delta.alias("d")
+    return s.join(d, F.col(f"s.{key_col}") == F.col(f"d.{key_col}"), "full_outer").select(
+        F.coalesce(F.col(f"s.{key_col}"), F.col(f"d.{key_col}")).alias(key_col),
+        F.when(
+            F.col("s.sketch").isNotNull() & F.col("d.sketch").isNotNull(),
+            F.hll_union("s.sketch", "d.sketch"),
+        )
+        .otherwise(F.coalesce("s.sketch", "d.sketch"))
+        .alias("sketch"),
+    )
+
+
+def sketch_estimates(state: DataFrame, key_col: str) -> DataFrame:
+    """(key, approx_distinct) from the sketch state — no history re-read."""
+    return state.select(
+        key_col, F.hll_sketch_estimate("sketch").alias("approx_distinct")
     )

@@ -310,3 +310,56 @@ def test_token_budget_pack_plan_has_no_single_partition_stage(spark):
     assert_no_single_partition_exchange(out)
     # and the heavy window really keys on (lang, _bkt), not lang alone
     assert "hashpartitioning(lang" in physical_plan(out)
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch state: the fixed-size distinct alternative (monitoring tier)
+# ---------------------------------------------------------------------------
+
+def _sketch_fold(spark, batches, lgk=12):
+    from link_profiler_repo_spark.operators.incremental import (
+        merge_sketches,
+        sketch_delta,
+    )
+
+    state = None
+    for b in batches:
+        df = spark.createDataFrame(b, "key long, member string")
+        state = merge_sketches(state, sketch_delta(df, "key", "member", lgk), "key")
+    return state
+
+
+def test_sketch_fold_accuracy_and_determinism(spark):
+    from link_profiler_repo_spark.operators.incremental import sketch_estimates
+
+    # 3 batches, overlapping members across batches; key 0 sees 1000
+    # distinct members, key 1 sees 100, key 2 appears in one batch only
+    batches = [
+        [(0, f"m{i}") for i in range(600)] + [(1, f"m{i % 100}") for i in range(300)],
+        [(0, f"m{i}") for i in range(400, 1000)] + [(2, "only") for _ in range(5)],
+        [(0, f"m{i}") for i in range(200)] + [(1, f"m{i % 50}") for i in range(200)],
+    ]
+    est = {
+        r.key: r.approx_distinct
+        for r in sketch_estimates(_sketch_fold(spark, batches), "key").collect()
+    }
+    exact = {0: 1000, 1: 100, 2: 1}
+    for k, ex in exact.items():
+        assert abs(est[k] - ex) / ex < 0.05, (k, est[k], ex)
+    # determinism: the same fold yields the same estimates
+    est2 = {
+        r.key: r.approx_distinct
+        for r in sketch_estimates(_sketch_fold(spark, batches), "key").collect()
+    }
+    assert est == est2
+
+
+def test_sketch_merge_one_sided_keys_survive(spark):
+    from link_profiler_repo_spark.operators.incremental import sketch_estimates
+
+    batches = [[(1, "a"), (1, "b")], [(2, "z")]]
+    est = {
+        r.key: r.approx_distinct
+        for r in sketch_estimates(_sketch_fold(spark, batches), "key").collect()
+    }
+    assert est == {1: 2, 2: 1}  # HLL is exact at tiny cardinalities
