@@ -2623,3 +2623,107 @@ FROM orders GROUP BY o_custkey
 
 SPARK_QUERIES["incremental_profile"] = q_incremental_profile
 SQL_ORACLES["incremental_profile"] = SQL_INCREMENTAL_PROFILE
+
+
+def q_corpus_build(spark, sf_dir):
+    """The end-to-end training-corpus build a user of the added LLM-pipeline
+    family actually runs, as ONE composed plan: quality filter (textops
+    bands, thresholded in exact integer deci-points so no float boundary
+    exists) -> exact-dedup keep (md5 pair graph -> components -> canonical
+    min) -> target-mixture sampling (relational rates) -> per-language
+    token-budget packing (two-level prefix sum) -> the final kept corpus.
+    DuckDB re-derives every stage independently — the dedup via a window
+    MIN-per-hash instead of the pair-graph closure, the packing via the
+    naive single-window cumsum — so the oracle shares no algorithm with the
+    engine, only the contract."""
+    from .operators import textops
+    from .operators.components import dedup_keep
+    from .operators.sampling import mixture_sample, token_budget_pack
+
+    t = F.col("text")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", textops.token_count(t).alias("n_tokens")
+    )
+    n = F.col("n_tokens")
+    quality_deci = (
+        F.when((n >= 20) & (n <= 2000), 4).when(n >= 5, 2).otherwise(0)
+        + F.when(textops.punct_ratio(t) <= 0.2, 3).otherwise(1)
+        + F.when(textops.stopword_ratio(t) >= 0.05, 3).otherwise(1)
+    )
+    filtered = d.filter(quality_deci >= 8)
+    h = filtered.select(F.md5("text").alias("h"), "doc_id")
+    keepers = h.groupBy("h").agg(F.min("doc_id").alias("a"))
+    pairs = (
+        h.join(keepers, "h")
+        .filter(F.col("doc_id") != F.col("a"))
+        .select("a", F.col("doc_id").alias("b"))
+    )
+    unique = (
+        dedup_keep(filtered, pairs)
+        .filter(F.col("keep"))
+        .select("doc_id", "lang", "n_tokens")
+    )
+    mixed = mixture_sample(
+        unique, "doc_id", "lang",
+        targets={"en": 0.6, "de": 0.2, "es": 0.2},
+        total_rows=150.0, salt="cb",
+    )
+    packed = token_budget_pack(
+        mixed, "doc_id", "lang", "n_tokens", budget=3000, salt="cbp"
+    )
+    return packed.filter(F.col("keep")).select(
+        "doc_id", "lang", "n_tokens", "cum_tokens"
+    )
+
+
+_SQL_CORPUS_BUILD_SW = ", ".join(f"'{w}'" for w in textops.EN_STOPWORDS)
+
+SQL_CORPUS_BUILD = f"""
+WITH w AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')), '\\s+'),
+                     x -> length(x) > 0) AS words
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, text, len(words) AS n_tokens,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+           / GREATEST(length(text), 1) AS praw,
+         len(list_filter(words, x -> x IN ({_SQL_CORPUS_BUILD_SW})))::DOUBLE
+           / GREATEST(len(words), 1) AS sraw
+  FROM w
+), f AS (
+  SELECT doc_id, lang, text, n_tokens FROM m
+  WHERE (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 4
+              WHEN n_tokens >= 5 THEN 2 ELSE 0 END
+       + CASE WHEN praw <= 0.2 THEN 3 ELSE 1 END
+       + CASE WHEN sraw >= 0.05 THEN 3 ELSE 1 END) >= 8
+), ded AS (
+  SELECT doc_id, lang, n_tokens FROM (
+    SELECT doc_id, lang, n_tokens,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS cl
+    FROM f) WHERE doc_id = cl
+), t(lang, tgt) AS (VALUES ('de', 0.2), ('en', 0.6), ('es', 0.2)),
+c AS (SELECT lang, COUNT(*) AS n FROM ded GROUP BY lang),
+r AS (SELECT c.lang, LEAST(1.0, 150.0 * t.tgt / c.n) AS rate
+      FROM c JOIN t ON c.lang = t.lang),
+mx AS (
+  SELECT d.doc_id, d.lang, d.n_tokens
+  FROM ded d JOIN r ON d.lang = r.lang
+  WHERE r.rate >= 1.0
+     OR (r.rate > 0.0
+         AND substr(md5('cb|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+             < printf('%08x', CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT)))
+), pk AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5('cbp|' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM mx
+)
+SELECT doc_id, lang, n_tokens, cum_tokens FROM pk WHERE cum_tokens <= 3000
+"""
+
+SPARK_QUERIES["corpus_build"] = q_corpus_build
+SQL_ORACLES["corpus_build"] = SQL_CORPUS_BUILD

@@ -363,3 +363,70 @@ def test_sketch_merge_one_sided_keys_survive(spark):
         for r in sketch_estimates(_sketch_fold(spark, batches), "key").collect()
     }
     assert est == {1: 2, 2: 1}  # HLL is exact at tiny cardinalities
+
+
+# ---------------------------------------------------------------------------
+# corpus_build composition + incremental state resume
+# ---------------------------------------------------------------------------
+
+def test_corpus_build_invariants(spark):
+    """The composed corpus-build gate query respects every stage's contract:
+    dedup (no two kept docs share text), mixture (only targeted langs),
+    packing (per-lang token budget holds and totals are maximal prefixes)."""
+    from link_profiler_repo_spark.queries import q_corpus_build
+
+    out = q_corpus_build(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "composition produced an empty corpus"
+    assert {r.lang for r in rows} <= {"en", "de", "es"}
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        assert max(r.cum_tokens for r in rs) <= 3000
+        # cum_tokens of the kept set is consistent: max == sum of tokens
+        assert max(r.cum_tokens for r in rs) == sum(r.n_tokens for r in rs)
+
+
+def test_incremental_state_round_trips_through_parquet(spark, tmp_path):
+    """Checkpoint-resume for the incremental profile state: persist
+    (counters, pairs) after batch 1, 'restart' by re-reading them, fold the
+    remaining batches, and land on the identical fixpoint as the
+    uninterrupted fold — state tables ARE the checkpoint (the same contract
+    as the crawl loop's Iceberg epoch tables)."""
+    batches = [
+        [(1, "a", True, 10), (2, "b", False, 3)],
+        [(1, "a", False, 7), (1, "c", True, 2)],
+        [(3, "z", False, 1), (2, "b", True, 4)],
+    ]
+    full_counters, _ = _fold(spark, batches)
+    want = {
+        r.key: (r.n, r.distinct_member, r.flagged, r.cents)
+        for r in full_counters.collect()
+    }
+
+    c1, p1 = _fold(spark, batches[:1])
+    c1.write.mode("overwrite").parquet(str(tmp_path / "counters"))
+    p1.write.mode("overwrite").parquet(str(tmp_path / "pairs"))
+    # restart: state comes back from storage, not lineage
+    state = (
+        spark.read.parquet(str(tmp_path / "counters")),
+        spark.read.parquet(str(tmp_path / "pairs")),
+    )
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("flag"), 1).otherwise(0)).alias("flagged"),
+        F.sum("cents").alias("cents"),
+    ]
+    for b in batches[1:]:
+        df = spark.createDataFrame(
+            b, "key long, member string, flag boolean, cents long"
+        )
+        state = fold_profile_batch(
+            state, df, key_col="key", member_col="member", agg_exprs=aggs
+        )
+    got = {
+        r.key: (r.n, r.distinct_member, r.flagged, r.cents)
+        for r in state[0].collect()
+    }
+    assert got == want == {1: (3, 2, 2, 19), 2: (2, 1, 1, 7), 3: (1, 1, 0, 1)}
