@@ -113,3 +113,79 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         lang_id(t).alias("lang_pred"),
         doc_fingerprint(t).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filters (Gopher rules — Rae et al. 2021,
+# "Scaling Language Models: ...", Table A1: duplicate-line fraction and
+# top-n-gram fraction are the published corpus filters for boilerplate and
+# degenerate repetition). No reference counterpart — added LLM-pipeline
+# family alongside quality_score above.
+# ---------------------------------------------------------------------------
+
+def _lines(text: Column) -> Column:
+    ls = F.transform(F.split(text, r"\n"), lambda x: F.trim(x))
+    return F.filter(ls, lambda x: F.length(x) > 0)
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Fraction of non-empty lines that are duplicates of an earlier line:
+    1 - distinct/total (0.0 for line-less docs). Gopher drops docs > 0.30."""
+    ls = _lines(text)
+    return F.when(F.size(ls) == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(ls)).cast("double") / F.size(ls)
+    )
+
+
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line: float = 0.30,
+    max_top_bigram: float = 0.20,
+) -> DataFrame:
+    """Per-doc repetition metrics + the Gopher-style keep flag:
+    (id, dup_line_frac, top_bigram_frac, repetition_ok).
+
+    top_bigram_frac (share of all word bigrams taken by the most frequent
+    one) is computed the scale way — explode bigrams, count per (doc, gram),
+    max/sum per doc: two keyed shuffles that partition by document, never an
+    O(words²) per-row array scan. Docs with <2 words have no bigrams and
+    read 0.0. Fractions are exact double divisions of integer counts, so the
+    DuckDB oracle reproduces them bit-for-bit."""
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        dup_line_fraction(t).alias("dup_line_frac"),
+        _words(t).alias("_w"),
+    )
+    grams = base.select(
+        id_col,
+        F.when(
+            F.size("_w") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - 1),
+                lambda i: F.concat(
+                    F.element_at("_w", i), F.lit(" "), F.element_at("_w", i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("_grams"),
+    )
+    counts = (
+        grams.select(id_col, F.explode("_grams").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("n"))
+    )
+    frac = counts.groupBy(id_col).agg(
+        (F.max("n").cast("double") / F.sum("n")).alias("top_bigram_frac")
+    )
+    return (
+        base.drop("_w")
+        .join(frac, id_col, "left")
+        .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
+        .withColumn(
+            "repetition_ok",
+            (F.col("dup_line_frac") <= max_dup_line)
+            & (F.col("top_bigram_frac") <= max_top_bigram),
+        )
+    )

@@ -2727,3 +2727,76 @@ SELECT doc_id, lang, n_tokens, cum_tokens FROM pk WHERE cum_tokens <= 3000
 
 SPARK_QUERIES["corpus_build"] = q_corpus_build
 SQL_ORACLES["corpus_build"] = SQL_CORPUS_BUILD
+
+
+def q_repetition_profile(spark, sf_dir):
+    """Gopher-rule repetition filters (Rae et al. 2021 Table A1: duplicate
+    -line fraction <= 0.30, top-bigram fraction <= 0.20) over documents plus
+    20 range()-derived multi-line docs (the harness texts are single-line,
+    so the graft gives the line metric non-vacuous weight — same fixture
+    pattern as dedup_clusters' chain). Fractions are exact double divisions
+    of integer counts; DuckDB re-derives both metrics from the raw text."""
+    from .operators.textops import repetition_profile
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("id")
+    graft = spark.range(20).select(
+        (i + 20_000_000).alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("line "), (i % 3).cast("string")),
+            F.concat(F.lit("line "), (i % 2).cast("string")),
+            F.lit("line 0"),
+            F.concat(F.lit("line "), (i % 3).cast("string")),
+        ).alias("text"),
+    )
+    out = repetition_profile(d.union(graft))
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        F.col("repetition_ok").cast("int").alias("repetition_ok"),
+    )
+
+
+SQL_REPETITION_PROFILE = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT i + 20000000,
+         'line ' || CAST(i % 3 AS VARCHAR) || chr(10) ||
+         'line ' || CAST(i % 2 AS VARCHAR) || chr(10) ||
+         'line 0' || chr(10) ||
+         'line ' || CAST(i % 3 AS VARCHAR)
+  FROM range(0, 20) t(i)
+),
+l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> length(x) > 0) AS lines,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')), '\\s+'),
+                     x -> length(x) > 0) AS words
+  FROM d
+),
+dl AS (
+  SELECT doc_id,
+         CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(lines))::DOUBLE / len(lines) END AS dup_line_frac,
+         words
+  FROM l
+),
+e AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1])) AS gram
+  FROM dl
+),
+c AS (SELECT doc_id, gram, COUNT(*) AS n FROM e GROUP BY 1, 2),
+f AS (SELECT doc_id, MAX(n)::DOUBLE / SUM(n) AS top_bigram_frac FROM c GROUP BY doc_id)
+SELECT dl.doc_id,
+       ROUND(dl.dup_line_frac, 6) AS dup_line_frac,
+       ROUND(COALESCE(f.top_bigram_frac, 0.0), 6) AS top_bigram_frac,
+       CAST(dl.dup_line_frac <= 0.30 AND COALESCE(f.top_bigram_frac, 0.0) <= 0.20 AS INT) AS repetition_ok
+FROM dl LEFT JOIN f ON dl.doc_id = f.doc_id
+"""
+
+SPARK_QUERIES["repetition_profile"] = q_repetition_profile
+SQL_ORACLES["repetition_profile"] = SQL_REPETITION_PROFILE

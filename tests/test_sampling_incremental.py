@@ -430,3 +430,45 @@ def test_incremental_state_round_trips_through_parquet(spark, tmp_path):
         for r in state[0].collect()
     }
     assert got == want == {1: (3, 2, 2, 19), 2: (2, 1, 1, 7), 3: (1, 1, 0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# repetition filters (Gopher rules) vs a naive Python twin
+# ---------------------------------------------------------------------------
+
+def test_repetition_profile_matches_naive_python(spark):
+    import re
+    from collections import Counter
+
+    from link_profiler_repo_spark.operators.textops import repetition_profile
+
+    texts = [
+        (0, "a b a b a b c"),                      # dominant bigram 'a b'
+        (1, "x\nx\ny\nx"),                         # duplicate lines
+        (2, ""),                                   # empty: both metrics 0
+        (3, "one"),                                # <2 words: no bigrams
+        (4, "l1\n l1 \nl2\nunique words here now"),  # trim before line-dedup
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.dup_line_frac, r.top_bigram_frac, r.repetition_ok)
+        for r in repetition_profile(df).collect()
+    }
+
+    def naive(text):
+        lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+        dl = 0.0 if not lines else 1.0 - len(set(lines)) / len(lines)
+        words = [w for w in re.sub(r"[^a-zA-Z0-9']+", " ", text.lower()).split() if w]
+        grams = Counter(
+            f"{a} {b}" for a, b in zip(words, words[1:])
+        )
+        tb = max(grams.values()) / sum(grams.values()) if grams else 0.0
+        return (dl, tb, dl <= 0.30 and tb <= 0.20)
+
+    for i, text in texts:
+        dl, tb, ok = naive(text)
+        assert got[i][0] == pytest.approx(dl)
+        assert got[i][1] == pytest.approx(tb)
+        assert got[i][2] == ok, (i, got[i])
+    # the degenerate-repetition doc is flagged, the healthy one is kept
+    assert not got[0][2] and got[4][2]
