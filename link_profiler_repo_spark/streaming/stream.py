@@ -173,3 +173,85 @@ def host_state_batch(fetch_log: DataFrame) -> DataFrame:
         .otherwise(F.lit("closed"))
         .alias("cb_state"),
     )
+
+
+def run_incremental_profile_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint: str,
+    key_col: str,
+    member_col: str,
+    agg_exprs_builder,
+) -> DataFrame:
+    """Streaming rendering of the incremental profile fold
+    (operators/incremental.py): each micro-batch of edges folds into the
+    persisted (counters, pairs) state tables via foreachBatch — the state
+    tables ARE the checkpoint, so a restarted stream resumes from the last
+    committed fold exactly like the crawl loop's epoch tables. Nothing is
+    held on the driver: the fold's localCheckpoint materializes the merged
+    state before its parquet dir is overwritten (the new state has no
+    lineage into the files being replaced).
+
+    `agg_exprs_builder` is a zero-arg callable returning fresh additive agg
+    expressions (Column objects are not reusable across plans). Returns the
+    final counters DataFrame read back from the state dir."""
+    import os
+
+    from ..operators.incremental import fold_profile_batch
+
+    cdir = os.path.join(state_dir, "counters")
+    pdir = os.path.join(state_dir, "pairs")
+    mdir = os.path.join(state_dir, "_folded")
+
+    def _read(d):
+        try:
+            return spark.read.parquet(d)
+        except Exception:  # first batch: no state yet
+            return None
+
+    def _folded_max() -> int:
+        m = _read(mdir)
+        if m is None:
+            return -1
+        v = m.agg(F.max("batch_id")).first()[0]
+        return -1 if v is None else v
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # replay guard: foreachBatch is at-least-once, so a batch replayed
+        # after its fold committed (crash between state write and checkpoint
+        # commit, or a restart reprocessing the same checkpoint batch ids)
+        # must be a no-op — the fold is NOT idempotent. Batch ids are the
+        # CHECKPOINT's: resume must reuse the checkpoint dir (standard
+        # Structured Streaming semantics). Multi-dir atomicity of the state
+        # write itself is the table format's job on a real deployment
+        # (Iceberg snapshot commit — the same contract as state.StateStore's
+        # atomic epoch checkpoint).
+        if batch_id <= _folded_max():
+            return
+        state = (_read(cdir), _read(pdir))
+        counters, pairs = fold_profile_batch(
+            state, batch_df, key_col=key_col, member_col=member_col,
+            agg_exprs=agg_exprs_builder(),
+        )
+        # localCheckpoint above materialized both; safe to overwrite sources
+        counters.write.mode("overwrite").parquet(cdir)
+        pairs.write.mode("overwrite").parquet(pdir)
+        spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
+            "overwrite"
+        ).parquet(mdir)
+
+    q = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one stored batch per micro-batch
+        .load(path)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(cdir)

@@ -472,3 +472,104 @@ def test_repetition_profile_matches_naive_python(spark):
         assert got[i][2] == ok, (i, got[i])
     # the degenerate-repetition doc is flagged, the healthy one is kept
     assert not got[0][2] and got[4][2]
+
+
+def test_incremental_profile_stream_folds_to_full_recompute(spark, tmp_path):
+    """§2.9 integration: the incremental fold driven by Structured Streaming
+    foreachBatch (one stored batch file per micro-batch) lands on the same
+    fixpoint as the batch fold and the dict recompute."""
+    import pyspark.sql.types as T
+
+    from link_profiler_repo_spark.streaming.stream import (
+        run_incremental_profile_stream,
+    )
+
+    batches = [
+        [(1, "a", True, 10), (2, "b", False, 3)],
+        [(1, "a", False, 7), (1, "c", True, 2)],
+        [(3, "z", False, 1), (2, "b", True, 4)],
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("member", T.StringType()),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            str(in_dir / f"batch{i}")
+        )
+    # the file source reads leaf files; point it at the batch dirs' parquet
+    counters = run_incremental_profile_stream(
+        spark,
+        str(in_dir / "batch*"),
+        schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint=str(tmp_path / "ckpt"),
+        key_col="key",
+        member_col="member",
+        agg_exprs_builder=lambda: [
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("flag"), 1).otherwise(0)).alias("flagged"),
+            F.sum("cents").alias("cents"),
+        ],
+    )
+    got = {
+        r.key: (r.n, r.distinct_member, r.flagged, r.cents)
+        for r in counters.collect()
+    }
+    assert got == {1: (3, 2, 2, 19), 2: (2, 1, 1, 7), 3: (1, 1, 0, 1)}
+
+
+def test_incremental_profile_stream_replay_is_noop(spark, tmp_path):
+    """Replayed batch ids (at-least-once foreachBatch) must not double-fold:
+    re-driving the same input against the SAME state dir with a fresh
+    checkpoint re-delivers batch ids 0..2, and the folded-id guard skips
+    them all — the state is unchanged."""
+    import pyspark.sql.types as T
+
+    from link_profiler_repo_spark.streaming.stream import (
+        run_incremental_profile_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("member", T.StringType()),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, b in enumerate(
+        [[(1, "a", True, 10)], [(1, "a", False, 7), (1, "b", True, 2)]]
+    ):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            str(in_dir / f"batch{i}")
+        )
+    kw = dict(
+        schema=schema,
+        state_dir=str(tmp_path / "state"),
+        key_col="key",
+        member_col="member",
+        agg_exprs_builder=lambda: [
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("flag"), 1).otherwise(0)).alias("flagged"),
+            F.sum("cents").alias("cents"),
+        ],
+    )
+    first = run_incremental_profile_stream(
+        spark, str(in_dir / "batch*"), checkpoint=str(tmp_path / "ck1"), **kw
+    )
+    want = {r.key: (r.n, r.distinct_member, r.flagged, r.cents) for r in first.collect()}
+    assert want == {1: (3, 2, 2, 19)}
+    replay = run_incremental_profile_stream(
+        spark, str(in_dir / "batch*"), checkpoint=str(tmp_path / "ck2"), **kw
+    )
+    got = {r.key: (r.n, r.distinct_member, r.flagged, r.cents) for r in replay.collect()}
+    assert got == want  # every replayed fold was skipped
