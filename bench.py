@@ -56,6 +56,12 @@ HEADLINE = [
     "dedup_exact",
     "embedding_pairs",
     "similarity_topk",
+    # r5 additions (training-data pipeline family) — the headline SUM grows
+    # vs r4 because coverage grew, not because anything regressed; compare
+    # per-query
+    "repetition_profile",
+    "incremental_profile",
+    "corpus_build",
 ]
 
 

@@ -159,15 +159,18 @@ def repetition_profile(
         dup_line_fraction(t).alias("dup_line_frac"),
         _words(t).alias("_w"),
     )
+    # bigrams as zip_with(words[:-1], words[1:]) — NOT transform(sequence,
+    # element_at): explode inlines its child expression and re-evaluates it
+    # per output row, turning the per-index element_at form into O(words²)
+    # per doc (measured 52s vs 2.8s on 5k docs at sf0.1)
     grams = base.select(
         id_col,
         F.when(
             F.size("_w") >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size("_w") - 1),
-                lambda i: F.concat(
-                    F.element_at("_w", i), F.lit(" "), F.element_at("_w", i + 1)
-                ),
+            F.zip_with(
+                F.slice("_w", 1, F.size("_w") - 1),
+                F.slice("_w", 2, F.size("_w") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
             ),
         ).otherwise(F.array().cast("array<string>")).alias("_grams"),
     )
