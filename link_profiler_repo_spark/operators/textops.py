@@ -99,6 +99,23 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(F.concat_ws(" ", _words(text)))
 
 
+def word_ngrams(words: Column, n: int) -> Column:
+    """Word n-grams of a words ARRAY COLUMN, built as chained zip_with over n
+    shifted slices — the linear form. Do NOT build grams with
+    transform(sequence, slice/element_at) over an inline words expression or
+    explode them from a separate projection: both shapes re-evaluate the
+    expensive subtree per element/output row (measured 15-27s vs <1s on 5k
+    docs at sf0.1 — see repetition_profile's bigram note). Callers guard
+    size(words) < n."""
+    m = F.size(words) - (n - 1)
+    g = F.slice(words, 1, m)
+    for k in range(2, n + 1):
+        g = F.zip_with(
+            g, F.slice(words, k, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return g
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One scan, all derived metrics as plain columns."""
     t = F.col(text_col)
@@ -159,20 +176,13 @@ def repetition_profile(
         dup_line_fraction(t).alias("dup_line_frac"),
         _words(t).alias("_w"),
     )
-    # bigrams as zip_with(words[:-1], words[1:]) — NOT transform(sequence,
-    # element_at): explode inlines its child expression and re-evaluates it
-    # per output row, turning the per-index element_at form into O(words²)
-    # per doc (measured 52s vs 2.8s on 5k docs at sf0.1)
+    # bigrams via word_ngrams (zip_with form) — NOT transform(sequence,
+    # element_at): measured 52s vs 2.8s on 5k docs at sf0.1 (see word_ngrams)
     grams = base.select(
         id_col,
-        F.when(
-            F.size("_w") >= 2,
-            F.zip_with(
-                F.slice("_w", 1, F.size("_w") - 1),
-                F.slice("_w", 2, F.size("_w") - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            ),
-        ).otherwise(F.array().cast("array<string>")).alias("_grams"),
+        F.when(F.size("_w") >= 2, word_ngrams(F.col("_w"), 2))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_grams"),
     )
     counts = (
         grams.select(id_col, F.explode("_grams").alias("gram"))
