@@ -41,7 +41,9 @@ def merge_counters(
     stored: DataFrame | None, delta: DataFrame, key_col: str
 ) -> DataFrame:
     """Merge a per-key pre-aggregated delta into the stored counter table:
-    full-outer join on key_col, every other (numeric) column summed with
+    full-outer join on key_col (NULL-SAFE: a groupBy emits NULL keys as one
+    group, so the merge must pair them too — plain equality would accumulate
+    duplicate NULL-key rows), every other (numeric) column summed with
     null-as-zero over the UNION of both column sets (None = empty store,
     first batch)."""
     if stored is None:
@@ -57,7 +59,7 @@ def merge_counters(
     def side(alias: str, have: list[str], c: str):
         return F.col(f"{alias}.{c}") if c in have else F.lit(None)
 
-    return s.join(d, F.col(f"s.{key_col}") == F.col(f"d.{key_col}"), "full_outer").select(
+    return s.join(d, F.col(f"s.{key_col}").eqNullSafe(F.col(f"d.{key_col}")), "full_outer").select(
         F.coalesce(F.col(f"s.{key_col}"), F.col(f"d.{key_col}")).alias(key_col),
         *[
             (
@@ -75,11 +77,56 @@ def new_distinct_pairs(
     """The batch's distinct (key, member) pairs not yet in the store — the
     exact increment set for a distinct counter. Delta anti-join: cost scales
     with the batch, and with the pair table bucketed on key only the batch
-    side exchanges."""
-    bp = batch.select(key_col, member_col).distinct()
+    side exchanges. NULL members are dropped up front: COUNT(DISTINCT)
+    ignores NULLs (the fold's oracle fixpoint), and the anti-join's non-null-
+    safe equality would otherwise re-admit a NULL pair every batch."""
+    bp = (
+        batch.filter(F.col(member_col).isNotNull())
+        .select(key_col, member_col)
+        .distinct()
+    )
     if stored_pairs is None:
         return bp
-    return bp.join(stored_pairs, [key_col, member_col], "left_anti")
+    # null-safe on the KEY: groupBy keeps a NULL-key group, so its pairs
+    # must match the store too (plain equality would re-admit them forever)
+    b = bp.alias("b")
+    sp = stored_pairs.alias("sp")
+    return b.join(
+        sp,
+        F.col(f"b.{key_col}").eqNullSafe(F.col(f"sp.{key_col}"))
+        & (F.col(f"b.{member_col}") == F.col(f"sp.{member_col}")),
+        "left_anti",
+    )
+
+
+def fold_profile_batch_delta(
+    state: tuple[DataFrame | None, DataFrame | None],
+    batch: DataFrame,
+    key_col: str,
+    member_col: str,
+    agg_exprs: list,
+) -> tuple[DataFrame, DataFrame]:
+    """One incremental epoch, DELTA form: (counters, pairs) + batch ->
+    (counters', new_pairs). `agg_exprs` are the additive per-key aggregates
+    (aliased columns) computed over the batch; a `distinct_{member_col}`
+    counter is maintained from the pair-table delta. Returns the NEW pairs
+    only — an append-only pair store persists O(batch) per epoch (the
+    streaming sink's shape), never rewriting the accumulated pair history.
+    Both outputs are eagerly checkpointed (lineage truncation, the crawl
+    loop's epoch-table contract)."""
+    counters, pairs = state
+    delta = batch.groupBy(key_col).agg(*agg_exprs)
+    new_pairs = new_distinct_pairs(pairs, batch, key_col, member_col)
+    uniq_delta = new_pairs.groupBy(key_col).agg(
+        F.count("*").alias(f"distinct_{member_col}")
+    )
+    counters2 = merge_counters(
+        merge_counters(counters, delta, key_col), uniq_delta, key_col
+    )
+    return (
+        counters2.localCheckpoint(eager=True),
+        new_pairs.localCheckpoint(eager=True),
+    )
 
 
 def fold_profile_batch(
@@ -90,25 +137,15 @@ def fold_profile_batch(
     agg_exprs: list,
 ) -> tuple[DataFrame, DataFrame]:
     """One incremental epoch: (counters, pairs) + batch -> (counters',
-    pairs'). `agg_exprs` are the additive per-key aggregates (aliased
-    columns) computed over the batch; a `distinct_{member_col}` counter is
-    maintained from the pair-table delta. Each returned table should be
-    written back to its state table (checkpointed here for the in-memory
-    fold, truncating lineage exactly like the crawl loop's epoch tables)."""
+    pairs'), pairs' = the full accumulated pair table (in-memory fold
+    convenience; see fold_profile_batch_delta for the O(batch)-persist
+    form)."""
     counters, pairs = state
-    delta = batch.groupBy(key_col).agg(*agg_exprs)
-    new_pairs = new_distinct_pairs(pairs, batch, key_col, member_col)
-    uniq_delta = new_pairs.groupBy(key_col).agg(
-        F.count("*").alias(f"distinct_{member_col}")
-    )
-    counters2 = merge_counters(
-        merge_counters(counters, delta, key_col), uniq_delta, key_col
+    counters2, new_pairs = fold_profile_batch_delta(
+        state, batch, key_col, member_col, agg_exprs
     )
     pairs2 = new_pairs if pairs is None else pairs.unionByName(new_pairs)
-    return (
-        counters2.localCheckpoint(eager=True),
-        pairs2.localCheckpoint(eager=True),
-    )
+    return (counters2, pairs2.localCheckpoint(eager=True))
 
 
 # ---------------------------------------------------------------------------

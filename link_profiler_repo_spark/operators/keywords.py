@@ -58,9 +58,9 @@ def doc_keywords(
     """Derive a (domain, keyword) table from the documents corpus: domain =
     'd'||(doc_id % n_domains), keywords = distinct lowercase word n-grams
     (a deterministic stand-in for per-domain SERP keyword phrases — real
-    keyword sets ARE multi-word queries). Pure Catalyst: split + transform
-    over a sequence, no UDF."""
-    from .textops import word_ngrams
+    keyword sets ARE multi-word queries). Pure Catalyst: split +
+    word_ngrams (linear zip_with form), no UDF."""
+    from .textops import word_ngrams_or_empty
 
     words = F.filter(
         F.split(
@@ -75,9 +75,7 @@ def doc_keywords(
         F.concat(F.lit("d"), (F.col(id_col) % n_domains).cast("string")).alias("domain"),
         words.alias("_w"),
     )
-    grams = F.when(
-        F.size("_w") >= n_gram, word_ngrams(F.col("_w"), n_gram)
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams_or_empty(F.col("_w"), n_gram)
     return wdf.select("domain", F.explode(grams).alias("keyword")).distinct()
 
 
@@ -151,14 +149,12 @@ def keyword_research(
         ),
         lambda w: F.length(w) > 0,
     )
-    from .textops import word_ngrams
+    from .textops import word_ngrams_or_empty
 
     # same linear-gram shape as doc_keywords (words column + word_ngrams in
     # the explode's own select; measured 13.6s -> ~1s at sf0.1)
     wdf = docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
-    grams = F.when(
-        F.size("_w") >= n_gram, word_ngrams(F.col("_w"), n_gram)
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams_or_empty(F.col("_w"), n_gram)
     freq = (
         wdf.select("doc_id", F.explode(grams).alias("keyword"))
         .filter(F.array_contains(F.split(F.col("keyword"), " "), seed))

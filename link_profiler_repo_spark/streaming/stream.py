@@ -183,33 +183,45 @@ def run_incremental_profile_stream(
     checkpoint: str,
     key_col: str,
     member_col: str,
-    agg_exprs_builder,
+    agg_exprs: list,
 ) -> DataFrame:
     """Streaming rendering of the incremental profile fold
     (operators/incremental.py): each micro-batch of edges folds into the
-    persisted (counters, pairs) state tables via foreachBatch — the state
-    tables ARE the checkpoint, so a restarted stream resumes from the last
-    committed fold exactly like the crawl loop's epoch tables. Nothing is
-    held on the driver: the fold's localCheckpoint materializes the merged
-    state before its parquet dir is overwritten (the new state has no
-    lineage into the files being replaced).
+    persisted state via foreachBatch — the state tables ARE the checkpoint,
+    so a restarted stream resumes from the last committed fold exactly like
+    the crawl loop's epoch tables. Per-epoch persisted I/O is O(batch):
+    counters are rewritten (bounded by the key universe; MERGE INTO on a
+    real table format), while the unbounded pair store is APPEND-ONLY — the
+    fold's delta form returns only the batch's new pairs, and the
+    accumulated history is never re-serialized. Nothing is held on the
+    driver: the fold's localCheckpoint materializes outputs before their
+    parquet dirs are touched (no lineage into the files being replaced).
 
-    `agg_exprs_builder` is a zero-arg callable returning fresh additive agg
-    expressions (Column objects are not reusable across plans). Returns the
-    final counters DataFrame read back from the state dir."""
+    `agg_exprs` are the additive per-key aggregates (unresolved Columns are
+    immutable expression trees — reusable across batches, same as the batch
+    fold). Returns the final counters DataFrame read back from the state
+    dir (typed-empty if the stream delivered zero batches)."""
     import os
 
-    from ..operators.incremental import fold_profile_batch
+    from pyspark.errors import AnalysisException
+
+    from ..operators.incremental import fold_profile_batch_delta
 
     cdir = os.path.join(state_dir, "counters")
     pdir = os.path.join(state_dir, "pairs")
     mdir = os.path.join(state_dir, "_folded")
 
     def _read(d):
+        # ONLY path-not-found means "no state yet". Any other read failure
+        # (corrupt file, transient FS error, permissions) must abort the
+        # batch rather than silently resetting the accumulated state to
+        # this batch's delta.
         try:
             return spark.read.parquet(d)
-        except Exception:  # first batch: no state yet
-            return None
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e):
+                return None
+            raise
 
     def _folded_max() -> int:
         m = _read(mdir)
@@ -227,17 +239,19 @@ def run_incremental_profile_stream(
         # Structured Streaming semantics). Multi-dir atomicity of the state
         # write itself is the table format's job on a real deployment
         # (Iceberg snapshot commit — the same contract as state.StateStore's
-        # atomic epoch checkpoint).
+        # atomic epoch checkpoint); under this parquet rendering a crash
+        # between the pair append and the meta write can leave duplicate
+        # pair rows, which inflate storage but never counts (the anti-join
+        # and the counter derive from the delta, not the store's row count).
         if batch_id <= _folded_max():
             return
         state = (_read(cdir), _read(pdir))
-        counters, pairs = fold_profile_batch(
+        counters, new_pairs = fold_profile_batch_delta(
             state, batch_df, key_col=key_col, member_col=member_col,
-            agg_exprs=agg_exprs_builder(),
+            agg_exprs=agg_exprs,
         )
-        # localCheckpoint above materialized both; safe to overwrite sources
         counters.write.mode("overwrite").parquet(cdir)
-        pairs.write.mode("overwrite").parquet(pdir)
+        new_pairs.write.mode("append").parquet(pdir)
         spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
             "overwrite"
         ).parquet(mdir)
@@ -254,4 +268,14 @@ def run_incremental_profile_stream(
     )
     q.processAllAvailable()
     q.stop()
-    return spark.read.parquet(cdir)
+    out = _read(cdir)
+    if out is not None:
+        return out
+    # zero batches delivered: derive the counters schema by folding an empty
+    # typed batch (same expressions, no data)
+    empty = spark.createDataFrame([], schema)
+    counters, _ = fold_profile_batch_delta(
+        (None, None), empty, key_col=key_col, member_col=member_col,
+        agg_exprs=agg_exprs,
+    )
+    return counters

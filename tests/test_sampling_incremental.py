@@ -512,7 +512,7 @@ def test_incremental_profile_stream_folds_to_full_recompute(spark, tmp_path):
         checkpoint=str(tmp_path / "ckpt"),
         key_col="key",
         member_col="member",
-        agg_exprs_builder=lambda: [
+        agg_exprs=[
             F.count("*").alias("n"),
             F.sum(F.when(F.col("flag"), 1).otherwise(0)).alias("flagged"),
             F.sum("cents").alias("cents"),
@@ -557,7 +557,7 @@ def test_incremental_profile_stream_replay_is_noop(spark, tmp_path):
         state_dir=str(tmp_path / "state"),
         key_col="key",
         member_col="member",
-        agg_exprs_builder=lambda: [
+        agg_exprs=[
             F.count("*").alias("n"),
             F.sum(F.when(F.col("flag"), 1).otherwise(0)).alias("flagged"),
             F.sum("cents").alias("cents"),
@@ -573,3 +573,58 @@ def test_incremental_profile_stream_replay_is_noop(spark, tmp_path):
     )
     got = {r.key: (r.n, r.distinct_member, r.flagged, r.cents) for r in replay.collect()}
     assert got == want  # every replayed fold was skipped
+
+
+def test_incremental_fold_null_members_and_keys(spark):
+    """NULL members never count toward the distinct counter (COUNT(DISTINCT)
+    semantics) and never re-admit across batches; NULL keys merge as one
+    group instead of accumulating duplicate rows."""
+    aggs = lambda: [F.count("*").alias("n"), F.sum("cents").alias("cents")]  # noqa: E731
+    batches = [
+        [(1, None, False, 10), (None, "a", False, 1)],
+        [(1, None, False, 5), (None, "a", False, 2), (None, "b", False, 3)],
+    ]
+    state = (None, None)
+    for b in batches:
+        df = spark.createDataFrame(
+            b, "key long, member string, flag boolean, cents long"
+        )
+        state = fold_profile_batch(
+            state, df, key_col="key", member_col="member", agg_exprs=aggs()
+        )
+    counters, pairs = state
+    rows = counters.collect()
+    assert len(rows) == 2  # one row per key, incl. exactly ONE NULL-key row
+    got = {r.key: (r.n, r.distinct_member, r.cents) for r in rows}
+    assert got[1] == (2, 0, 15)  # NULL member: counted rows, 0 distinct
+    assert got[None] == (3, 2, 6)
+    assert pairs.filter(F.col("member").isNull()).count() == 0
+
+
+def test_incremental_stream_zero_batches_returns_typed_empty(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from link_profiler_repo_spark.streaming.stream import (
+        run_incremental_profile_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("member", T.StringType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    (tmp_path / "in").mkdir()
+    out = run_incremental_profile_stream(
+        spark,
+        str(tmp_path / "in"),
+        schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint=str(tmp_path / "ck"),
+        key_col="key",
+        member_col="member",
+        agg_exprs=[F.count("*").alias("n"), F.sum("cents").alias("cents")],
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"key", "n", "cents", "distinct_member"}
