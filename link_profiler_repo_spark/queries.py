@@ -2800,3 +2800,105 @@ FROM dl LEFT JOIN f ON dl.doc_id = f.doc_id
 
 SPARK_QUERIES["repetition_profile"] = q_repetition_profile
 SQL_ORACLES["repetition_profile"] = SQL_REPETITION_PROFILE
+
+
+# ---------------------------------------------------------------------------
+# Outreach pipeline (operators/outreach.py): the link-building campaign/event
+# surface (core/models.py:765-856, api/link_building.py) — prospect lifecycle
+# + campaign metrics derived from the append-only events table (the reference
+# declares the metric fields but never maintains them; the relational
+# rendering can never disagree with history)
+# ---------------------------------------------------------------------------
+
+_OUTREACH_EVENTS_SQL = """
+SELECT i AS seq,
+       'c' || CAST(i % 3 AS VARCHAR) AS campaign_id,
+       'p' || CAST(i % 40 AS VARCHAR) AS prospect_id,
+       CASE WHEN (i * 7) % 12 <= 5 THEN 'email_sent'
+            WHEN (i * 7) % 12 <= 8 THEN 'follow_up'
+            WHEN (i * 7) % 12 <= 10 THEN 'reply'
+            ELSE 'link_secured' END AS event_type
+FROM range(0, 600) t(i)
+"""
+
+
+def _outreach_events(spark):
+    """600 deterministic events over 40 prospects x 3 campaigns, event types
+    weighted 6/3/2/1 (contact-heavy, like a real pipeline) — built
+    identically by both engines from range()."""
+    i = F.col("id")
+    m = (i * 7) % 12
+    return spark.range(600).select(
+        i.alias("seq"),
+        F.concat(F.lit("c"), (i % 3).cast("string")).alias("campaign_id"),
+        F.concat(F.lit("p"), (i % 40).cast("string")).alias("prospect_id"),
+        F.when(m <= 5, "email_sent")
+        .when(m <= 8, "follow_up")
+        .when(m <= 10, "reply")
+        .otherwise("link_secured")
+        .alias("event_type"),
+    )
+
+
+def q_prospect_status(spark, sf_dir):
+    """Prospect lifecycle from events (45 prospects: 40 with events + 5
+    never-touched -> 'new'), one groupBy with conditional aggregates — the
+    latest-event selection is a max(struct(seq,type)) single-pass agg, no
+    window. DuckDB re-derives with arg_max + plain FILTER aggregates."""
+    from .operators.outreach import prospect_status
+
+    prospects = spark.range(45).select(
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("prospect_id")
+    )
+    return prospect_status(prospects, _outreach_events(spark))
+
+
+SQL_PROSPECT_STATUS = f"""
+WITH e AS ({_OUTREACH_EVENTS_SQL}),
+pr AS (SELECT 'p' || CAST(i AS VARCHAR) AS prospect_id FROM range(0, 45) t(i)),
+per AS (
+  SELECT prospect_id,
+         COUNT(*) AS n_events,
+         MAX(seq) FILTER (event_type IN ('email_sent', 'follow_up')) AS last_contacted_seq,
+         MIN(seq) FILTER (event_type = 'link_secured') AS link_acquired_seq,
+         arg_max(event_type, seq) AS latest_type
+  FROM e GROUP BY prospect_id
+)
+SELECT pr.prospect_id,
+       CASE WHEN per.link_acquired_seq IS NOT NULL THEN 'link_acquired'
+            WHEN per.latest_type = 'reply' THEN 'replied'
+            WHEN per.latest_type IN ('email_sent', 'follow_up') THEN 'contacted'
+            ELSE 'new' END AS status,
+       per.last_contacted_seq,
+       per.link_acquired_seq,
+       COALESCE(per.n_events, 0) AS n_events
+FROM pr LEFT JOIN per ON pr.prospect_id = per.prospect_id
+"""
+
+
+def q_campaign_metrics(spark, sf_dir):
+    """The OutreachCampaign metric fields (core/models.py:814-817) as one
+    aggregation per campaign over the same fixture."""
+    from .operators.outreach import campaign_metrics
+
+    return campaign_metrics(_outreach_events(spark))
+
+
+SQL_CAMPAIGN_METRICS = f"""
+WITH e AS ({_OUTREACH_EVENTS_SQL})
+SELECT campaign_id,
+       COUNT(DISTINCT prospect_id) AS total_prospects,
+       CAST(COUNT(*) FILTER (event_type IN ('email_sent', 'follow_up')) AS BIGINT) AS contacts_made,
+       CAST(COUNT(*) FILTER (event_type = 'reply') AS BIGINT) AS replies_received,
+       COUNT(DISTINCT prospect_id) FILTER (event_type = 'link_secured') AS links_acquired,
+       CASE WHEN COUNT(*) FILTER (event_type IN ('email_sent', 'follow_up')) > 0
+            THEN ROUND(CAST(COUNT(*) FILTER (event_type = 'reply') AS DOUBLE)
+                       / COUNT(*) FILTER (event_type IN ('email_sent', 'follow_up')), 6)
+            ELSE 0.0 END AS reply_rate
+FROM e GROUP BY campaign_id
+"""
+
+SPARK_QUERIES["prospect_status"] = q_prospect_status
+SQL_ORACLES["prospect_status"] = SQL_PROSPECT_STATUS
+SPARK_QUERIES["campaign_metrics"] = q_campaign_metrics
+SQL_ORACLES["campaign_metrics"] = SQL_CAMPAIGN_METRICS

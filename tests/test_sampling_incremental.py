@@ -628,3 +628,53 @@ def test_incremental_stream_zero_batches_returns_typed_empty(spark, tmp_path):
     )
     assert out.count() == 0
     assert set(out.columns) == {"key", "n", "cents", "distinct_member"}
+
+
+# ---------------------------------------------------------------------------
+# outreach pipeline (operators/outreach.py)
+# ---------------------------------------------------------------------------
+
+def test_prospect_status_lifecycle_golden(spark):
+    from link_profiler_repo_spark.operators.outreach import (
+        campaign_metrics,
+        prospect_status,
+    )
+
+    events = spark.createDataFrame(
+        [
+            # p0: contacted then replied -> replied (latest wins)
+            (0, "c0", "p0", "email_sent"),
+            (1, "c0", "p0", "reply"),
+            # p1: link secured EARLY, reply later -> link_acquired (terminal)
+            (2, "c0", "p1", "link_secured"),
+            (3, "c0", "p1", "reply"),
+            # p2: two contacts -> contacted, last_contacted = latest seq
+            (4, "c1", "p2", "email_sent"),
+            (5, "c1", "p2", "follow_up"),
+            # p3: only an unknown event type -> new (n_events counted)
+            (6, "c1", "p3", "note_added"),
+        ],
+        "seq long, campaign_id string, prospect_id string, event_type string",
+    )
+    prospects = spark.createDataFrame(
+        [("p0",), ("p1",), ("p2",), ("p3",), ("p4",)], "prospect_id string"
+    )
+    got = {
+        r.prospect_id: (r.status, r.last_contacted_seq, r.link_acquired_seq, r.n_events)
+        for r in prospect_status(prospects, events).collect()
+    }
+    assert got == {
+        "p0": ("replied", 0, None, 2),
+        "p1": ("link_acquired", None, 2, 2),
+        "p2": ("contacted", 5, None, 2),
+        "p3": ("new", None, None, 1),
+        "p4": ("new", None, None, 0),
+    }
+    cm = {
+        r.campaign_id: (
+            r.total_prospects, r.contacts_made, r.replies_received,
+            r.links_acquired, r.reply_rate,
+        )
+        for r in campaign_metrics(events).collect()
+    }
+    assert cm == {"c0": (2, 1, 2, 1, 2.0), "c1": (2, 2, 0, 0, 0.0)}
