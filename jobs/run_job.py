@@ -54,6 +54,12 @@ def main() -> None:
                     help="comma-separated competitor hosts/domains")
     ap.add_argument("--urls", default=None, help="comma-separated audit URL list")
     ap.add_argument("--report-format", default="json", help="json | html (xlsx/pdf stubbed)")
+    ap.add_argument("--targets", default="en=0.6,de=0.2,es=0.2",
+                    help="corpus_build mixture targets: stratum=share pairs")
+    ap.add_argument("--total-rows", type=float, default=150.0,
+                    help="corpus_build sampled-corpus size target")
+    ap.add_argument("--token-budget", type=int, default=3000,
+                    help="corpus_build per-stratum token budget")
     ap.add_argument("--out", default=None, help="report output path")
     args = ap.parse_args()
 
@@ -210,6 +216,18 @@ def main() -> None:
         df = run_job(args.job_type, spark, pages, urls)
         out["audited"] = df.count()
         out["rows"] = sample(df.orderBy("n_issues", "url"))
+    elif args.job_type == "corpus_build":
+        targets = dict(
+            (k, float(v))
+            for k, v in (kv.split("=", 1) for kv in args.targets.split(",") if kv)
+        )
+        df = run_job(args.job_type, spark, read("documents"), targets=targets,
+                     total_rows=args.total_rows, budget=args.token_budget)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            out["corpus_path"] = args.out
+        out["kept_docs"] = df.count()
+        out["rows"] = sample(df.orderBy("lang", "cum_tokens"))
     elif args.job_type == "report_generation":
         from link_profiler_repo_spark.operators.reports import export_report
 

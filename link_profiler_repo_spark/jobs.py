@@ -151,6 +151,13 @@ def report_generation_job(spark: SparkSession, edges, target_url: str | None = N
     return rep
 
 
+def _corpus_build_job(spark, docs, targets, total_rows, budget, **kw):
+    from .operators.corpus import build_corpus
+
+    return build_corpus(docs, targets=targets, total_rows=total_rows,
+                        budget=budget, **kw)
+
+
 JOB_TYPES = {
     "backlink_discovery": backlink_discovery,
     "link_health_audit": link_health_audit,
@@ -164,6 +171,10 @@ JOB_TYPES = {
     "prospect_identification": prospect_identification_job,
     "technical_audit": technical_audit_job,
     "report_generation": report_generation_job,
+    # added LLM-pipeline family: the end-to-end training-corpus build
+    # (quality filter -> exact-dedup keep -> mixture sample -> token-budget
+    # pack; operators/corpus.py) as a first-class deployable job
+    "corpus_build": _corpus_build_job,
     # Deliberately NOT registered from the reference's 12-type dispatch
     # (crawl_service.py:162, runners :1031-1134): "web3_crawl" and
     # "social_media_crawl". Both are thin wrappers over external-API

@@ -1,0 +1,75 @@
+"""End-to-end training-corpus build — the composition of the LLM-pipeline
+families as one reusable operator (and one deployable job type):
+
+    quality filter  → exact-dedup keep → target-mixture sample → token-budget
+    (textops bands)   (md5 pair graph    (sampling.mixture_     pack
+                       → components →     sample)               (sampling.
+                       canonical min)                            token_budget_
+                                                                 pack)
+
+The quality threshold is held in exact INTEGER deci-points so no float
+boundary exists between engines (the gate oracle re-derives every stage with
+different algorithms — see queries.q_corpus_build). One plan end to end:
+scan-side filters, one md5 groupBy + the star-contraction rounds for the
+dedup, a broadcast rates join, and the two-level prefix-sum windows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from . import textops
+from .components import dedup_keep
+from .sampling import mixture_sample, token_budget_pack
+
+
+def build_corpus(
+    docs: DataFrame,
+    targets: dict[str, float],
+    total_rows: float,
+    budget: int,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    text_col: str = "text",
+    min_quality_deci: int = 8,
+    sample_salt: str = "cb",
+    pack_salt: str = "cbp",
+) -> DataFrame:
+    """docs(id, strata, text) → the kept corpus (id, strata, n_tokens,
+    cum_tokens): quality-filtered, exact-deduped (one canonical doc per
+    identical-text cluster), sampled to the target mixture, greedily packed
+    to `budget` tokens per stratum in deterministic hash order."""
+    t = F.col(text_col)
+    d = docs.select(
+        id_col, strata_col, text_col, textops.token_count(t).alias("n_tokens")
+    )
+    n = F.col("n_tokens")
+    quality_deci = (
+        F.when((n >= 20) & (n <= 2000), 4).when(n >= 5, 2).otherwise(0)
+        + F.when(textops.punct_ratio(t) <= 0.2, 3).otherwise(1)
+        + F.when(textops.stopword_ratio(t) >= 0.05, 3).otherwise(1)
+    )
+    filtered = d.filter(quality_deci >= min_quality_deci)
+    h = filtered.select(F.md5(text_col).alias("h"), id_col)
+    keepers = h.groupBy("h").agg(F.min(id_col).alias("a"))
+    pairs = (
+        h.join(keepers, "h")
+        .filter(F.col(id_col) != F.col("a"))
+        .select("a", F.col(id_col).alias("b"))
+    )
+    unique = (
+        dedup_keep(filtered, pairs, id_col=id_col)
+        .filter(F.col("keep"))
+        .select(id_col, strata_col, "n_tokens")
+    )
+    mixed = mixture_sample(
+        unique, id_col, strata_col,
+        targets=targets, total_rows=total_rows, salt=sample_salt,
+    )
+    packed = token_budget_pack(
+        mixed, id_col, strata_col, "n_tokens", budget, salt=pack_salt
+    )
+    return packed.filter(F.col("keep")).select(
+        id_col, strata_col, "n_tokens", "cum_tokens"
+    )

@@ -2636,43 +2636,13 @@ def q_corpus_build(spark, sf_dir):
     MIN-per-hash instead of the pair-graph closure, the packing via the
     naive single-window cumsum — so the oracle shares no algorithm with the
     engine, only the contract."""
-    from .operators import textops
-    from .operators.components import dedup_keep
-    from .operators.sampling import mixture_sample, token_budget_pack
+    from .operators.corpus import build_corpus
 
-    t = F.col("text")
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text", textops.token_count(t).alias("n_tokens")
-    )
-    n = F.col("n_tokens")
-    quality_deci = (
-        F.when((n >= 20) & (n <= 2000), 4).when(n >= 5, 2).otherwise(0)
-        + F.when(textops.punct_ratio(t) <= 0.2, 3).otherwise(1)
-        + F.when(textops.stopword_ratio(t) >= 0.05, 3).otherwise(1)
-    )
-    filtered = d.filter(quality_deci >= 8)
-    h = filtered.select(F.md5("text").alias("h"), "doc_id")
-    keepers = h.groupBy("h").agg(F.min("doc_id").alias("a"))
-    pairs = (
-        h.join(keepers, "h")
-        .filter(F.col("doc_id") != F.col("a"))
-        .select("a", F.col("doc_id").alias("b"))
-    )
-    unique = (
-        dedup_keep(filtered, pairs)
-        .filter(F.col("keep"))
-        .select("doc_id", "lang", "n_tokens")
-    )
-    mixed = mixture_sample(
-        unique, "doc_id", "lang",
+    return build_corpus(
+        load(spark, sf_dir, "documents"),
         targets={"en": 0.6, "de": 0.2, "es": 0.2},
-        total_rows=150.0, salt="cb",
-    )
-    packed = token_budget_pack(
-        mixed, "doc_id", "lang", "n_tokens", budget=3000, salt="cbp"
-    )
-    return packed.filter(F.col("keep")).select(
-        "doc_id", "lang", "n_tokens", "cum_tokens"
+        total_rows=150.0,
+        budget=3000,
     )
 
 

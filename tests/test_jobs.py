@@ -226,6 +226,7 @@ def test_run_job_dispatcher_every_type(spark, tmp_path, capsys, monkeypatch):
         "technical_audit": ["--n-docs", "40"],
         "report_generation": ["--edges", edges_p, "--report-format", "html",
                               "--out", str(tmp_path / "report.html")],
+        "corpus_build": ["--token-budget", "1000"],
     }
     assert set(extra) == set(JOB_TYPES)  # dispatcher stays in sync
     for jt, xs in extra.items():
