@@ -678,3 +678,29 @@ def test_prospect_status_lifecycle_golden(spark):
         for r in campaign_metrics(events).collect()
     }
     assert cm == {"c0": (2, 1, 2, 1, 2.0), "c1": (2, 2, 0, 0, 0.0)}
+
+
+def test_token_budget_pack_property_random(spark):
+    """Property layer (hypothesis-style over seeded randomness, one Spark
+    round-trip per case batch): for random strata/token shapes — including
+    all-one-stratum (every bucket hot), empty strata names, zero-token docs
+    — the two-level prefix sum equals the naive single-threaded greedy."""
+    import random
+
+    rng = random.Random(7)
+    for case in range(3):
+        n = rng.randrange(50, 300)
+        langs = [f"s{j}" for j in range(rng.choice([1, 2, 7]))]
+        rows = [
+            (i, rng.choice(langs), rng.choice([0, 1, 5, 50, 500]))
+            for i in range(n)
+        ]
+        budget = rng.choice([0, 100, 1500, 10**8])
+        df = spark.createDataFrame(rows, "doc_id long, lang string, tokens long")
+        got = {
+            r.doc_id: (r.cum_tokens, r.keep)
+            for r in token_budget_pack(
+                df, "doc_id", "lang", "tokens", budget, salt=f"c{case}"
+            ).collect()
+        }
+        assert got == _naive_pack(rows, budget, f"c{case}"), (case, budget)
