@@ -704,3 +704,23 @@ def test_token_budget_pack_property_random(spark):
             ).collect()
         }
         assert got == _naive_pack(rows, budget, f"c{case}"), (case, budget)
+
+
+def test_outreach_plans_have_no_single_partition_stage(spark):
+    """Both outreach grains are plain keyed aggregations — no window, no
+    global sort, no single-partition exchange anywhere."""
+    from link_profiler_repo_spark.operators.outreach import (
+        campaign_metrics,
+        prospect_status,
+    )
+    from link_profiler_repo_spark.plans import assert_no_single_partition_exchange
+
+    events = spark.range(100).select(
+        F.col("id").alias("seq"),
+        F.concat(F.lit("c"), (F.col("id") % 3).cast("string")).alias("campaign_id"),
+        F.concat(F.lit("p"), (F.col("id") % 11).cast("string")).alias("prospect_id"),
+        F.when(F.col("id") % 4 == 0, "reply").otherwise("email_sent").alias("event_type"),
+    )
+    prospects = events.select("prospect_id").distinct()
+    assert_no_single_partition_exchange(prospect_status(prospects, events))
+    assert_no_single_partition_exchange(campaign_metrics(events))
