@@ -224,3 +224,61 @@ def technical_audit(pages: DataFrame, urls: list[str] | None = None) -> DataFram
         "url", parse_seo_metrics_udf(F.col("url"), F.col("content")).alias("seo")
     ).select("url", "seo.*")
     return technical_audit_from_metrics(m)
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text over-optimization profile
+# ---------------------------------------------------------------------------
+
+GENERIC_ANCHORS = ("click here", "here", "read more", "website", "link", "this site")
+
+
+def anchor_profile(
+    edges: DataFrame,
+    money_terms: list[str],
+    dst_col: str = "dst_host",
+    anchor_col: str = "anchor_text",
+    exact_threshold: float = 0.3,
+) -> DataFrame:
+    """Per-target anchor-text distribution → (dst_host, n_backlinks,
+    exact_ratio, naked_ratio, generic_ratio, branded_ratio, other_ratio,
+    over_optimized).
+
+    The reference stores top-10 anchor histograms (core/models.py:481) and
+    flags spam per-domain; the CLASS MIX of anchors is the established
+    over-optimization signal (a natural profile is dominated by branded /
+    naked-URL / generic anchors; a high exact-match-keyword share is the
+    manipulated pattern penalized since Google Penguin). Classification is
+    first-match: exact (anchor = a money keyword) > naked URL > generic
+    stop-anchor > branded (contains the target's first host label) > other.
+    One groupBy(dst_host) with conditional aggregates — a single keyed
+    shuffle; the brand token derives from the group key, no extra join."""
+    a = F.lower(F.trim(F.col(anchor_col)))
+    brand = F.regexp_extract(F.col(dst_col), r"^(?:www\.)?([^.]+)", 1)
+    money = [t.lower() for t in money_terms]
+    cls = (
+        F.when(a.isin(*money), "exact")
+        .when(a.rlike(r"^https?://") | (a == F.col(dst_col)), "naked")
+        .when(a.isin(*GENERIC_ANCHORS), "generic")
+        .when((F.length(brand) > 0) & a.contains(brand), "branded")
+        .otherwise("other")
+    )
+    e = edges.select(F.col(dst_col).alias("dst_host"), cls.alias("_cls"))
+    n = F.count("*")
+
+    def ratio(name):
+        return F.round(
+            F.sum(F.when(F.col("_cls") == name, 1).otherwise(0)) / n, 6
+        ).alias(f"{name}_ratio")
+
+    return (
+        e.groupBy("dst_host")
+        .agg(
+            n.alias("n_backlinks"),
+            ratio("exact"), ratio("naked"), ratio("generic"),
+            ratio("branded"), ratio("other"),
+        )
+        .withColumn(
+            "over_optimized", F.col("exact_ratio") > F.lit(float(exact_threshold))
+        )
+    )

@@ -2872,3 +2872,176 @@ SPARK_QUERIES["prospect_status"] = q_prospect_status
 SQL_ORACLES["prospect_status"] = SQL_PROSPECT_STATUS
 SPARK_QUERIES["campaign_metrics"] = q_campaign_metrics
 SQL_ORACLES["campaign_metrics"] = SQL_CAMPAIGN_METRICS
+
+
+# ---------------------------------------------------------------------------
+# Adaptive recrawl scheduling (operators/recrawl.py): Cho & Garcia-Molina
+# change-rate estimation over capture histories (the freshness model the
+# reference lacks — it recrawls on cache-TTL staleness only); input shape =
+# the CDX source's (urlkey, timestamp, digest) captures
+# ---------------------------------------------------------------------------
+
+_RECRAWL_CAPTURES_SQL = """
+SELECT 'u' || CAST(i % 30 AS VARCHAR) AS url,
+       CAST((i // 30) * (1 + i % 30 % 3) AS DOUBLE) AS ts_days,
+       'd' || CAST((i // 30) // GREATEST(1 + (i % 30) % 7, 1) AS VARCHAR) AS digest
+FROM range(0, 240) t(i)
+"""
+
+
+def _recrawl_captures(spark):
+    """8 captures for each of 30 urls; per-url cadence (1/2/3 days) and
+    change period (digest advances every 1..7 visits) both vary by url, so
+    the fixture spans always-changing, mid-rate, and never-changing pages —
+    built identically by both engines from range()."""
+    i = F.col("id")
+    u = i % 30
+    v = (i / 30).cast("long")  # visit index 0..7
+    return spark.range(240).select(
+        F.concat(F.lit("u"), u.cast("string")).alias("url"),
+        (v * (1 + u % 3)).cast("double").alias("ts_days"),
+        F.concat(
+            F.lit("d"),
+            (v / F.greatest(1 + u % 7, F.lit(1))).cast("long").cast("string"),
+        ).alias("digest"),
+    )
+
+
+def q_recrawl_schedule(spark, sf_dir):
+    """Per-url bias-corrected Poisson change rate λ̂ = -ln((n-X+0.5)/(n+0.5))/Ī
+    and the clamped 1/λ̂ revisit interval. One lag window + one groupBy per
+    url; DuckDB re-derives lag, change counting, the estimator arithmetic,
+    and the clamp chain independently. ln() differs in the last ulp across
+    libm implementations — both engines round to 6dp."""
+    from .operators.recrawl import change_rates, recrawl_schedule
+
+    out = recrawl_schedule(change_rates(_recrawl_captures(spark)))
+    return out.select(
+        "url", "n_visits", "n_intervals", "n_changes",
+        F.round("interval_days", 6).alias("interval_days"),
+        F.round("lambda_per_day", 6).alias("lambda_per_day"),
+        F.round("recrawl_days", 6).alias("recrawl_days"),
+    )
+
+
+SQL_RECRAWL_SCHEDULE = f"""
+WITH c AS ({_RECRAWL_CAPTURES_SQL}),
+obs AS (
+  SELECT url, ts_days, digest,
+         lag(digest) OVER (PARTITION BY url ORDER BY ts_days) AS prev
+  FROM c
+),
+per AS (
+  SELECT url,
+         COUNT(*) AS n_visits,
+         COUNT(*) - 1 AS n_intervals,
+         CAST(SUM(CASE WHEN prev IS NOT NULL AND digest != prev THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         (MAX(ts_days) - MIN(ts_days)) / GREATEST(COUNT(*) - 1, 1) AS interval_days
+  FROM obs GROUP BY url
+),
+lam AS (
+  SELECT *,
+         CASE WHEN n_intervals > 0 AND interval_days > 0
+              THEN -ln((n_intervals - n_changes + 0.5) / (n_intervals + 0.5))
+                   / interval_days END AS lambda_per_day
+  FROM per
+)
+SELECT url, n_visits, n_intervals, n_changes,
+       ROUND(interval_days, 6) AS interval_days,
+       ROUND(lambda_per_day, 6) AS lambda_per_day,
+       ROUND(CASE WHEN lambda_per_day IS NULL THEN 30.0
+                  WHEN lambda_per_day <= 0 THEN 90.0
+                  ELSE LEAST(90.0, GREATEST(1.0, 1.0 / lambda_per_day)) END,
+             6) AS recrawl_days
+FROM lam
+"""
+
+SPARK_QUERIES["recrawl_schedule"] = q_recrawl_schedule
+SQL_ORACLES["recrawl_schedule"] = SQL_RECRAWL_SCHEDULE
+
+
+# ---------------------------------------------------------------------------
+# Anchor over-optimization profile (operators/analytics.py anchor_profile):
+# the class mix of a target's anchors — the Penguin-era manipulation signal
+# the reference's per-anchor histogram (A2) cannot express
+# ---------------------------------------------------------------------------
+
+_ANCHOR_EDGES_SQL = """
+SELECT 'brand' || CAST(i % 10 AS VARCHAR) || '.test' AS dst_host,
+       CASE i % 9
+         WHEN 0 THEN 'buy cheap widgets'
+         WHEN 1 THEN CASE WHEN i % 10 < 4 THEN 'best widgets' ELSE 'handy guide' END
+         WHEN 2 THEN 'buy cheap widgets'
+         WHEN 3 THEN 'click here'
+         WHEN 4 THEN 'here'
+         WHEN 5 THEN 'http://src' || CAST(i AS VARCHAR) || '.test/p'
+         WHEN 6 THEN 'Brand' || CAST(i % 10 AS VARCHAR) || ' homepage'
+         WHEN 7 THEN 'the Brand' || CAST(i % 10 AS VARCHAR) || ' review'
+         ELSE 'a long editorial phrase' END AS anchor_text
+FROM range(0, 450) t(i)
+"""
+
+
+def _anchor_edges(spark):
+    """450 edges over 10 targets; anchors cycle through exact-match money
+    terms (hosts 0-3 get an extra money slot -> over the 0.3 threshold),
+    generic stop-anchors, naked URLs, branded mentions, and editorial
+    long-tail — built identically by both engines from range()."""
+    i = F.col("id")
+    h = (i % 10).cast("string")
+    m9 = i % 9
+    anchor = (
+        F.when(m9 == 0, F.lit("buy cheap widgets"))
+        .when(m9 == 1, F.when(i % 10 < 4, "best widgets").otherwise("handy guide"))
+        .when(m9 == 2, F.lit("buy cheap widgets"))
+        .when(m9 == 3, F.lit("click here"))
+        .when(m9 == 4, F.lit("here"))
+        .when(m9 == 5, F.concat(F.lit("http://src"), i.cast("string"), F.lit(".test/p")))
+        .when(m9 == 6, F.concat(F.lit("Brand"), h, F.lit(" homepage")))
+        .when(m9 == 7, F.concat(F.lit("the Brand"), h, F.lit(" review")))
+        .otherwise(F.lit("a long editorial phrase"))
+    )
+    return spark.range(450).select(
+        F.concat(F.lit("brand"), h, F.lit(".test")).alias("dst_host"),
+        anchor.alias("anchor_text"),
+    )
+
+
+def q_anchor_profile(spark, sf_dir):
+    from .operators.analytics import anchor_profile
+
+    out = anchor_profile(
+        _anchor_edges(spark), money_terms=["buy cheap widgets", "best widgets"]
+    )
+    return out.withColumn("over_optimized", F.col("over_optimized").cast("int"))
+
+
+SQL_ANCHOR_PROFILE = f"""
+WITH e AS ({_ANCHOR_EDGES_SQL}),
+c AS (
+  SELECT dst_host,
+         CASE
+           WHEN lower(trim(anchor_text)) IN ('buy cheap widgets', 'best widgets') THEN 'exact'
+           WHEN regexp_matches(lower(trim(anchor_text)), '^https?://')
+                OR lower(trim(anchor_text)) = dst_host THEN 'naked'
+           WHEN lower(trim(anchor_text)) IN
+                ('click here', 'here', 'read more', 'website', 'link', 'this site') THEN 'generic'
+           WHEN length(regexp_extract(dst_host, '^(?:www\\.)?([^.]+)', 1)) > 0
+                AND contains(lower(trim(anchor_text)),
+                             regexp_extract(dst_host, '^(?:www\\.)?([^.]+)', 1)) THEN 'branded'
+           ELSE 'other' END AS cls
+  FROM e
+)
+SELECT dst_host,
+       COUNT(*) AS n_backlinks,
+       ROUND(SUM(CASE WHEN cls = 'exact' THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS exact_ratio,
+       ROUND(SUM(CASE WHEN cls = 'naked' THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS naked_ratio,
+       ROUND(SUM(CASE WHEN cls = 'generic' THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS generic_ratio,
+       ROUND(SUM(CASE WHEN cls = 'branded' THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS branded_ratio,
+       ROUND(SUM(CASE WHEN cls = 'other' THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS other_ratio,
+       CAST(ROUND(SUM(CASE WHEN cls = 'exact' THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) > 0.3 AS INT) AS over_optimized
+FROM c GROUP BY dst_host
+"""
+
+SPARK_QUERIES["anchor_profile"] = q_anchor_profile
+SQL_ORACLES["anchor_profile"] = SQL_ANCHOR_PROFILE

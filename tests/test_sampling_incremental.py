@@ -724,3 +724,67 @@ def test_outreach_plans_have_no_single_partition_stage(spark):
     prospects = events.select("prospect_id").distinct()
     assert_no_single_partition_exchange(prospect_status(prospects, events))
     assert_no_single_partition_exchange(campaign_metrics(events))
+
+
+def test_recrawl_schedule_estimator_golden(spark):
+    """Hand-computed Cho & Garcia-Molina cases: mid-rate page, single
+    capture (no evidence -> default), never-changed (-> max interval),
+    always-changed (clamped to the floor)."""
+    import math
+
+    from link_profiler_repo_spark.operators.recrawl import (
+        change_rates,
+        recrawl_schedule,
+    )
+
+    rows = (
+        [("A", float(d), x) for d, x in enumerate(["x", "x", "y", "y"])]
+        + [("B", 0.0, "z")]
+        + [("C", float(d), "s") for d in range(4)]
+        + [("D", float(d), f"v{d}") for d in range(4)]
+    )
+    df = spark.createDataFrame(rows, "url string, ts_days double, digest string")
+    got = {
+        r.url: (r.n_intervals, r.n_changes, r.lambda_per_day, r.recrawl_days)
+        for r in recrawl_schedule(change_rates(df)).collect()
+    }
+    lam_a = -math.log((3 - 1 + 0.5) / 3.5)  # one change in three 1-day gaps
+    assert got["A"][0:2] == (3, 1)
+    assert got["A"][2] == pytest.approx(lam_a)
+    assert got["A"][3] == pytest.approx(1 / lam_a)
+    assert got["B"] == (0, 0, None, 30.0)  # no evidence -> default
+    assert got["C"][1] == 0 and got["C"][2] == pytest.approx(0.0)
+    assert got["C"][3] == 90.0  # observed stable -> max interval
+    lam_d = -math.log(0.5 / 3.5)
+    assert got["D"][2] == pytest.approx(lam_d)
+    assert got["D"][3] == 1.0  # faster than the feasible floor -> clamp
+
+
+def test_anchor_profile_classification_golden(spark):
+    from link_profiler_repo_spark.operators.analytics import anchor_profile
+
+    edges = spark.createDataFrame(
+        [
+            # exact beats branded even when the brand appears in the term
+            ("acme.test", "Acme widgets"),
+            ("acme.test", "acme widgets"),   # money term, case-insensitive
+            ("acme.test", "http://other.test/page"),  # naked URL
+            ("acme.test", "acme.test"),      # bare host = naked
+            ("acme.test", "Click Here "),    # generic, trimmed+lowered
+            ("acme.test", "the ACME story"), # branded (contains 'acme')
+            ("acme.test", "editorial words"),
+            ("www.beta.test", "beta press"), # brand token skips www.
+        ],
+        "dst_host string, anchor_text string",
+    )
+    got = {
+        r.dst_host: (
+            r.n_backlinks, r.exact_ratio, r.naked_ratio, r.generic_ratio,
+            r.branded_ratio, r.other_ratio, r.over_optimized,
+        )
+        for r in anchor_profile(edges, money_terms=["acme widgets"]).collect()
+    }
+    assert got["acme.test"] == (7, round(2 / 7, 6), round(2 / 7, 6),
+                                round(1 / 7, 6), round(1 / 7, 6),
+                                round(1 / 7, 6), False)
+    assert got["www.beta.test"] == (1, 0.0, 0.0, 0.0, 1.0, 0.0, False)
