@@ -788,3 +788,38 @@ def test_anchor_profile_classification_golden(spark):
                                 round(1 / 7, 6), round(1 / 7, 6),
                                 round(1 / 7, 6), False)
     assert got["www.beta.test"] == (1, 0.0, 0.0, 0.0, 1.0, 0.0, False)
+
+
+def test_recrawl_intervals_drive_frontier_priority(spark):
+    """Composition: recrawl_schedule output feeds the frontier scheduler's
+    priority column — faster-changing pages get lower priority values (the
+    scheduler pops priority ASC), so the issued wave under a tight host
+    budget is the due-and-fast-changing subset."""
+    from link_profiler_repo_spark.operators.frontier import schedule_epoch
+    from link_profiler_repo_spark.operators.recrawl import (
+        change_rates,
+        recrawl_schedule,
+    )
+
+    # 6 urls on one host: u0/u1 change every capture, u2/u3 mid, u4/u5 never
+    caps = [
+        (f"u{k}", float(d), (f"v{d}" if k < 2 else ("w" + str(d // 3) if k < 4 else "s")))
+        for k in range(6)
+        for d in range(4)
+    ]
+    sched = recrawl_schedule(
+        change_rates(
+            spark.createDataFrame(caps, "url string, ts_days double, digest string")
+        )
+    )
+    frontier = sched.select(
+        "url",
+        F.sha2("url", 256).alias("url_hash"),
+        F.lit("h0.test").alias("host"),
+        # priority = clamped revisit interval: sooner-due sorts first
+        F.col("recrawl_days").cast("int").alias("priority"),
+        F.monotonically_increasing_id().alias("arrival_seq"),
+    )
+    wave = schedule_epoch(frontier, seen=None, host_budget=2)
+    issued = {r.url for r in wave.select("url").collect()}
+    assert issued == {"u0", "u1"}  # the always-changing pair wins the budget
