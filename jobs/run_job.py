@@ -217,17 +217,25 @@ def main() -> None:
         out["audited"] = df.count()
         out["rows"] = sample(df.orderBy("n_issues", "url"))
     elif args.job_type == "corpus_build":
-        targets = dict(
-            (k, float(v))
-            for k, v in (kv.split("=", 1) for kv in args.targets.split(",") if kv)
-        )
+        targets = {}
+        for kv in (x for x in args.targets.split(",") if x):
+            if "=" not in kv:
+                ap.error(f"--targets entry {kv!r} is not stratum=share")
+            k, v = kv.split("=", 1)
+            try:
+                targets[k] = float(v)
+            except ValueError:
+                ap.error(f"--targets share {v!r} for {k!r} is not a number")
+        # persist: write + count + sample otherwise re-run the full
+        # filter->dedup->mixture->pack pipeline three times
         df = run_job(args.job_type, spark, read("documents"), targets=targets,
-                     total_rows=args.total_rows, budget=args.token_budget)
+                     total_rows=args.total_rows, budget=args.token_budget).persist()
         if args.out:
             df.write.mode("overwrite").parquet(args.out)
             out["corpus_path"] = args.out
         out["kept_docs"] = df.count()
-        out["rows"] = sample(df.orderBy("lang", "cum_tokens"))
+        # doc_id tiebreak: kept zero-token docs tie on (lang, cum_tokens)
+        out["rows"] = sample(df.orderBy("lang", "cum_tokens", "doc_id"))
     elif args.job_type == "report_generation":
         from link_profiler_repo_spark.operators.reports import export_report
 

@@ -250,17 +250,27 @@ def anchor_profile(
     naked-URL / generic anchors; a high exact-match-keyword share is the
     manipulated pattern penalized since Google Penguin). Classification is
     first-match: exact (anchor = a money keyword) > naked URL > generic
-    stop-anchor > branded (contains the target's first host label) > other.
-    One groupBy(dst_host) with conditional aggregates — a single keyed
-    shuffle; the brand token derives from the group key, no extra join."""
+    stop-anchor > branded > other. The brand token is the label LEFT OF THE
+    TLD (m./blog./shop. subdomains resolve to the brand, not the subdomain;
+    multi-part public suffixes like co.uk are a documented heuristic gap),
+    matched as a WHOLE WORD — DNS labels contain no regex metacharacters,
+    so interpolating the label into the pattern is safe, and a substring
+    contains() would let a 1-2 char label match almost everything. One
+    groupBy(dst_host) with conditional aggregates — a single keyed shuffle;
+    the brand token derives from the group key, no extra join."""
     a = F.lower(F.trim(F.col(anchor_col)))
-    brand = F.regexp_extract(F.col(dst_col), r"^(?:www\.)?([^.]+)", 1)
+    brand = F.lower(F.regexp_extract(F.col(dst_col), r"([^.]+)\.[^.]+$", 1))
     money = [t.lower() for t in money_terms]
+    exact = a.isin(*money) if money else F.lit(False)
     cls = (
-        F.when(a.isin(*money), "exact")
+        F.when(exact, "exact")
         .when(a.rlike(r"^https?://") | (a == F.col(dst_col)), "naked")
         .when(a.isin(*GENERIC_ANCHORS), "generic")
-        .when((F.length(brand) > 0) & a.contains(brand), "branded")
+        .when(
+            (F.length(brand) > 0)
+            & F.regexp_like(a, F.concat(F.lit(r"\b"), brand, F.lit(r"\b"))),
+            "branded",
+        )
         .otherwise("other")
     )
     e = edges.select(F.col(dst_col).alias("dst_host"), cls.alias("_cls"))

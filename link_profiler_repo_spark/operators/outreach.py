@@ -39,6 +39,7 @@ def prospect_status(
     prospects with no events. `prospects` is the dimension (one row per
     prospect_id); `events` carries (prospect_id, event_type, seq) with seq
     any monotone event order (timestamp, sequence number)."""
+    lifecycle = F.col("event_type").isin("reply", *CONTACT_TYPES)
     per = events.groupBy("prospect_id").agg(
         F.count("*").alias("n_events"),
         F.max(F.when(F.col("event_type").isin(*CONTACT_TYPES), F.col("seq"))).alias(
@@ -47,15 +48,19 @@ def prospect_status(
         F.min(F.when(F.col("event_type") == "link_secured", F.col("seq"))).alias(
             "link_acquired_seq"
         ),
-        # latest event's type without a window: max over (seq, type) structs
-        F.max(F.struct(F.col("seq"), F.col("event_type"))).getField("event_type")
+        # latest LIFECYCLE event's type without a window: max over (seq,
+        # type) structs restricted to lifecycle types — a trailing
+        # non-lifecycle event (note_added etc.) must not demote a contacted
+        # prospect back to 'new'
+        F.max(F.when(lifecycle, F.struct(F.col("seq"), F.col("event_type"))))
+        .getField("event_type")
         .alias("_latest_type"),
     )
     status = (
         F.when(F.col("link_acquired_seq").isNotNull(), "link_acquired")
         .when(F.col("_latest_type") == "reply", "replied")
         .when(F.col("_latest_type").isin(*CONTACT_TYPES), "contacted")
-        # no events, or only event types outside the lifecycle (notes etc.)
+        # no events, or no LIFECYCLE events (notes etc. don't advance status)
         .otherwise("new")
     )
     return (

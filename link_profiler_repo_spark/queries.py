@@ -2831,7 +2831,8 @@ per AS (
          COUNT(*) AS n_events,
          MAX(seq) FILTER (event_type IN ('email_sent', 'follow_up')) AS last_contacted_seq,
          MIN(seq) FILTER (event_type = 'link_secured') AS link_acquired_seq,
-         arg_max(event_type, seq) AS latest_type
+         arg_max(event_type, seq)
+           FILTER (event_type IN ('email_sent', 'follow_up', 'reply')) AS latest_type
   FROM e GROUP BY prospect_id
 )
 SELECT pr.prospect_id,
@@ -3026,9 +3027,11 @@ c AS (
                 OR lower(trim(anchor_text)) = dst_host THEN 'naked'
            WHEN lower(trim(anchor_text)) IN
                 ('click here', 'here', 'read more', 'website', 'link', 'this site') THEN 'generic'
-           WHEN length(regexp_extract(dst_host, '^(?:www\\.)?([^.]+)', 1)) > 0
-                AND contains(lower(trim(anchor_text)),
-                             regexp_extract(dst_host, '^(?:www\\.)?([^.]+)', 1)) THEN 'branded'
+           WHEN length(regexp_extract(dst_host, '([^.]+)\\.[^.]+$', 1)) > 0
+                AND regexp_matches(
+                      lower(trim(anchor_text)),
+                      '\\b' || lower(regexp_extract(dst_host, '([^.]+)\\.[^.]+$', 1)) || '\\b'
+                    ) THEN 'branded'
            ELSE 'other' END AS cls
   FROM e
 )

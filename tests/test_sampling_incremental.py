@@ -653,11 +653,16 @@ def test_prospect_status_lifecycle_golden(spark):
             (5, "c1", "p2", "follow_up"),
             # p3: only an unknown event type -> new (n_events counted)
             (6, "c1", "p3", "note_added"),
+            # p5: contacted THEN noted -> stays contacted (a trailing
+            # non-lifecycle event must not demote the status)
+            (7, "c1", "p5", "email_sent"),
+            (8, "c1", "p5", "note_added"),
         ],
         "seq long, campaign_id string, prospect_id string, event_type string",
     )
     prospects = spark.createDataFrame(
-        [("p0",), ("p1",), ("p2",), ("p3",), ("p4",)], "prospect_id string"
+        [("p0",), ("p1",), ("p2",), ("p3",), ("p4",), ("p5",)],
+        "prospect_id string",
     )
     got = {
         r.prospect_id: (r.status, r.last_contacted_seq, r.link_acquired_seq, r.n_events)
@@ -669,6 +674,7 @@ def test_prospect_status_lifecycle_golden(spark):
         "p2": ("contacted", 5, None, 2),
         "p3": ("new", None, None, 1),
         "p4": ("new", None, None, 0),
+        "p5": ("contacted", 7, None, 2),
     }
     cm = {
         r.campaign_id: (
@@ -677,7 +683,7 @@ def test_prospect_status_lifecycle_golden(spark):
         )
         for r in campaign_metrics(events).collect()
     }
-    assert cm == {"c0": (2, 1, 2, 1, 2.0), "c1": (2, 2, 0, 0, 0.0)}
+    assert cm == {"c0": (2, 1, 2, 1, 2.0), "c1": (3, 3, 0, 0, 0.0)}
 
 
 def test_token_budget_pack_property_random(spark):
@@ -690,7 +696,9 @@ def test_token_budget_pack_property_random(spark):
     rng = random.Random(7)
     for case in range(3):
         n = rng.randrange(50, 300)
-        langs = [f"s{j}" for j in range(rng.choice([1, 2, 7]))]
+        # include the empty-string stratum name (hash salting and the
+        # groupBy must treat it as a normal key)
+        langs = ["", *(f"s{j}" for j in range(rng.choice([1, 2, 6])))]
         rows = [
             (i, rng.choice(langs), rng.choice([0, 1, 5, 50, 500]))
             for i in range(n)
@@ -773,7 +781,10 @@ def test_anchor_profile_classification_golden(spark):
             ("acme.test", "Click Here "),    # generic, trimmed+lowered
             ("acme.test", "the ACME story"), # branded (contains 'acme')
             ("acme.test", "editorial words"),
-            ("www.beta.test", "beta press"), # brand token skips www.
+            ("www.beta.test", "beta press"), # brand token = label left of TLD
+            ("m.example.com", "an example of prose"),  # subdomain -> 'example'
+            ("m.example.com", "more summer info"),     # no whole-word 'example'/'m'
+            ("hp.test", "php frameworks"),             # substring would match 'hp' 
         ],
         "dst_host string, anchor_text string",
     )
@@ -788,6 +799,8 @@ def test_anchor_profile_classification_golden(spark):
                                 round(1 / 7, 6), round(1 / 7, 6),
                                 round(1 / 7, 6), False)
     assert got["www.beta.test"] == (1, 0.0, 0.0, 0.0, 1.0, 0.0, False)
+    assert got["m.example.com"] == (2, 0.0, 0.0, 0.0, 0.5, 0.5, False)
+    assert got["hp.test"] == (1, 0.0, 0.0, 0.0, 0.0, 1.0, False)
 
 
 def test_recrawl_intervals_drive_frontier_priority(spark):
