@@ -836,3 +836,30 @@ def test_recrawl_intervals_drive_frontier_priority(spark):
     wave = schedule_epoch(frontier, seen=None, host_budget=2)
     issued = {r.url for r in wave.select("url").collect()}
     assert issued == {"u0", "u1"}  # the always-changing pair wins the budget
+
+
+def test_corpus_build_cli_rejects_malformed_targets(spark, tmp_path, monkeypatch, capsys):
+    """--targets entries must be stratum=share; a malformed pair exits with
+    an argparse error instead of a tuple-unpack traceback."""
+    import importlib.util
+    import os
+    import sys as _sys
+
+    import pytest as _pytest
+
+    spec = importlib.util.spec_from_file_location(
+        "run_job_main_targets",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "jobs", "run_job.py"),
+    )
+    rj = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rj)
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["run_job.py", "--type", "corpus_build",
+         "--sf-dir", "/root/testdata/sf0.001", "--targets", "en=0.6,de"],
+    )
+    with _pytest.raises(SystemExit) as e:
+        rj.main()
+    assert e.value.code == 2
+    assert "stratum=share" in capsys.readouterr().err
