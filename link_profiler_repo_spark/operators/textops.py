@@ -210,3 +210,101 @@ def repetition_profile(
             & (F.col("top_bigram_frac") <= max_top_bigram),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-data pipeline step; no reference
+# counterpart — the reference stores raw crawled text verbatim,
+# database/models.py CrawledPage). Pure Catalyst regexp so the scan stays in
+# whole-stage codegen and the DuckDB oracle can re-derive it exactly.
+#
+# The pattern set is deliberately restricted to the regex subset where Java
+# (Spark) and RE2 (DuckDB) agree: character classes, bounded repetition,
+# \b word boundaries — no lookaround, no backreferences, and no
+# match-length ambiguity (leftmost-first vs leftmost-longest resolve
+# identically for every pattern below). A production run extends the set;
+# the plan shape (one scan, per-pattern count + chained replace) is fixed.
+PII_PATTERNS = (
+    ("email", r"[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IPV4>"),
+)
+
+
+def pii_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII scan + redaction in one pass.
+
+    Counts are per-pattern over the RAW text (independent, so adding a
+    pattern never changes existing counts); redaction applies the patterns
+    in PII_PATTERNS order, each over the previous output (phone before ssn
+    matters: 555-123-4567 must become <PHONE>, and the hyphenated patterns
+    are constructed so neither matches inside the other — see tests).
+    NULL text behaves as empty. One projection, zero shuffles, zero UDFs.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    cols = [F.col(id_col).alias("doc_id")]
+    counts = []
+    red = t
+    for name, pat, repl in PII_PATTERNS:
+        c = F.regexp_count(t, F.lit(pat))
+        counts.append(c)
+        cols.append(c.alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, repl)
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    cols.append(total.alias("n_pii"))
+    cols.append((total > 0).cast("int").alias("has_pii"))
+    cols.append(red.alias("redacted"))
+    return df.select(*cols)
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word n-gram with any benchmark/eval document (the published procedure —
+    Brown et al. 2020 Appendix C use 13-grams; Lee et al. 2022 §6).
+
+    Scale shape: the benchmark side is SMALL by nature (eval suites are
+    ~1e5-1e7 grams), so its distinct gram set is broadcast — the 100 TB
+    training corpus is never shuffled; its grams explode narrowly per
+    partition, the broadcast hash semi-join filters them in place, and the
+    only shuffle is the per-doc overlap count over the (tiny) surviving
+    hits. Tokenization and gram construction reuse _words/word_ngrams so
+    contamination is judged on the same normalized content identity as the
+    rest of the text family.
+
+    Returns one row per training doc: n_overlap = number of DISTINCT doc
+    n-grams that occur anywhere in the benchmark, contaminated = n_overlap
+    > 0. Docs shorter than n words have no grams and are never flagged.
+    """
+    bench_grams = (
+        bench.select(F.explode(word_ngrams_or_empty(_words(F.col(text_col)), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_ngrams_or_empty(_words(F.col(text_col)), n))).alias(
+            "gram"
+        ),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )

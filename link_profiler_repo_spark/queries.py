@@ -3048,3 +3048,155 @@ FROM c GROUP BY dst_host
 
 SPARK_QUERIES["anchor_profile"] = q_anchor_profile
 SQL_ORACLES["anchor_profile"] = SQL_ANCHOR_PROFILE
+
+
+# ---------------------------------------------------------------------------
+# PII scan + redaction (operators/textops.py pii_profile): the corpus-
+# scrubbing step the reference lacks (it stores crawled text verbatim,
+# database/models.py CrawledPage). Fixture grafts 25 range()-derived docs
+# carrying synthetic emails/phones/SSNs/IPs (the harness texts contain
+# none, so the counts carry weight); both engines build the graft and run
+# the identical engine-portable regex set.
+# ---------------------------------------------------------------------------
+
+
+def q_pii_scan(spark, sf_dir):
+    from .operators.textops import pii_profile
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    graft = spark.range(25).select(
+        (i + 30_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("reach"),
+            F.concat(F.lit("user"), s(i), F.lit("@mail"), s(i % 3), F.lit(".example.com")),
+            F.lit("or"),
+            F.concat(F.lit("555-"), s(i + 100), F.lit("-"), s(i + 4000)),
+            F.when(
+                i % 2 == 0,
+                F.concat(F.lit(""), s(i + 200), F.lit("-"), s(i + 10), F.lit("-"), s(i + 5000)),
+            ),
+            F.when(
+                i % 3 == 0,
+                F.concat(F.lit("10."), s(i), F.lit("."), s(i), F.lit("."), s(i)),
+            ),
+            F.lit("today"),
+        ).alias("text"),
+    )
+    return pii_profile(d.union(graft))
+
+
+SQL_PII_SCAN = """
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  UNION ALL
+  SELECT i + 30000000,
+         concat_ws(' ', 'reach',
+                   'user' || i || '@mail' || (i % 3) || '.example.com',
+                   'or', '555-' || (i + 100) || '-' || (i + 4000),
+                   CASE WHEN i % 2 = 0
+                        THEN (i + 200) || '-' || (i + 10) || '-' || (i + 5000) END,
+                   CASE WHEN i % 3 = 0
+                        THEN '10.' || i || '.' || i || '.' || i END,
+                   'today')
+  FROM range(0, 25) t(i)
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS n_phone,
+       len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS n_ssn,
+       len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4,
+       len(regexp_extract_all(text, '[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\\.[A-Za-z]{2,}'))
+       + len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b'))
+       + len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b'))
+       + len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_pii,
+       CAST(len(regexp_extract_all(text, '[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\\.[A-Za-z]{2,}'))
+       + len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b'))
+       + len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b'))
+       + len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) > 0 AS INT) AS has_pii,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g'),
+           '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IPV4>', 'g') AS redacted
+FROM d
+"""
+
+SPARK_QUERIES["pii_scan"] = q_pii_scan
+SQL_ORACLES["pii_scan"] = SQL_PII_SCAN
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (operators/textops.py decontaminate): the
+# published n-gram-overlap procedure (Brown et al. 2020 Appendix C; Lee et
+# al. 2022 §6) — no reference counterpart, added LLM-pipeline surface.
+# Benchmark fixture: every doc_id % 100 == 0 document verbatim (classic
+# whole-doc contamination) + 5 nonce rows that can match nothing; DuckDB
+# re-derives tokenization, 8-gram construction, and the overlap join
+# independently from the raw bytes.
+# ---------------------------------------------------------------------------
+
+
+def q_decontaminate(spark, sf_dir):
+    from .operators.textops import decontaminate
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    nonce = spark.range(5).select(
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit("zzq"), s(i), F.lit(chr(ord("a") + k))) for k in range(8)],
+        ).alias("text")
+    )
+    bench = d.filter(F.col("doc_id") % 100 == 0).select("text").union(nonce)
+    return decontaminate(d, bench, n=8)
+
+
+SQL_DECONTAMINATE = """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')), '\\s+'),
+                     x -> length(x) > 0) AS words
+  FROM d
+),
+bench_txt AS (
+  SELECT coalesce(text, '') AS text FROM documents WHERE doc_id % 100 = 0
+  UNION ALL
+  SELECT concat_ws(' ', 'zzq' || i || 'a', 'zzq' || i || 'b', 'zzq' || i || 'c',
+                   'zzq' || i || 'd', 'zzq' || i || 'e', 'zzq' || i || 'f',
+                   'zzq' || i || 'g', 'zzq' || i || 'h')
+  FROM range(0, 5) t(i)
+),
+btok AS (
+  SELECT list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')), '\\s+'),
+                     x -> length(x) > 0) AS words
+  FROM bench_txt
+),
+bgrams AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(words) - 6),
+                                        j -> array_to_string(words[j:j+7], ' '))) AS gram
+  FROM btok WHERE len(words) >= 8
+),
+dgrams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(words) - 6),
+                               j -> array_to_string(words[j:j+7], ' '))) AS gram
+  FROM tok WHERE len(words) >= 8
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_overlap FROM dgrams JOIN bgrams USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(coalesce(h.n_overlap, 0) > 0 AS INT) AS contaminated
+FROM d LEFT JOIN hits h USING (doc_id)
+"""
+
+SPARK_QUERIES["decontaminate"] = q_decontaminate
+SQL_ORACLES["decontaminate"] = SQL_DECONTAMINATE

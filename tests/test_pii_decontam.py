@@ -1,0 +1,133 @@
+"""PII scan/redaction + benchmark decontamination tests (textops additions).
+
+Python twins use the `re` module: for the engine-portable pattern subset
+(char classes, bounded repetition, \\b — no lookaround/backrefs/ambiguity)
+Python, Java (Spark) and RE2 (DuckDB) all define the identical match set,
+so `re` is a fair third implementation.
+"""
+
+import random
+import re
+
+import pyspark.sql.functions as F
+
+from link_profiler_repo_spark.operators.textops import (
+    PII_PATTERNS,
+    decontaminate,
+    pii_profile,
+)
+
+
+def test_pii_golden(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@sub.example.co.uk or call 555-123-4567 now"),
+            (2, "ssn 123-45-6789 from host 10.0.0.1 and 192.168.1.255"),
+            (3, "no pii here at all"),
+            (4, None),
+            (5, "phone 555-123-4567 is not an ssn; 1234.5.6.7 is not an ip"),
+        ],
+        schema="doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_profile(df).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_phone"]) == (1, 1)
+    assert rows[1]["redacted"] == "mail <EMAIL> or call <PHONE> now"
+    assert (rows[2]["n_ssn"], rows[2]["n_ipv4"]) == (1, 2)
+    assert rows[2]["redacted"] == "ssn <SSN> from host <IPV4> and <IPV4>"
+    assert rows[3]["n_pii"] == 0 and rows[3]["has_pii"] == 0
+    assert rows[3]["redacted"] == "no pii here at all"
+    assert rows[4]["n_pii"] == 0 and rows[4]["redacted"] == ""
+    # the hyphenated patterns never cross-match, and a 4-digit first octet
+    # kills the whole dotted-quad (\b anchoring)
+    assert (rows[5]["n_phone"], rows[5]["n_ssn"], rows[5]["n_ipv4"]) == (1, 0, 0)
+
+
+def test_pii_python_twin(spark):
+    rng = random.Random(7)
+    frags = [
+        "hello world",
+        "a@b.io",
+        "555-000-1111",
+        "999-11-2222",
+        "8.8.8.8",
+        "not555-000-1111",  # no \b before the first digit group? ('t' is a word char -> still boundary-free? t|5 is word/word? no: t and 5 are both word chars -> NO boundary)
+        "x.y",
+        "12.34",
+        "user.name%tag@mail.example.com",
+        "1.2.3.4.5",
+    ]
+    docs = [
+        (i, " ".join(rng.choice(frags) for _ in range(rng.randint(1, 12))))
+        for i in range(60)
+    ]
+    rows = {
+        r["doc_id"]: r
+        for r in pii_profile(
+            spark.createDataFrame(docs, schema="doc_id long, text string")
+        ).collect()
+    }
+    for i, text in docs:
+        red = text
+        for name, pat, repl in PII_PATTERNS:
+            assert rows[i][f"n_{name}"] == len(re.findall(pat, text)), (name, text)
+            red = re.sub(pat, repl, red)
+        assert rows[i]["redacted"] == red, text
+
+
+def test_decontaminate_golden(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta tail one"),
+            (2, "zz alpha beta gamma yy"),  # shares the bench 3-gram
+            (3, "beta gamma alpha"),  # same words, different order: clean
+            (4, "two words"),  # shorter than n: never flagged
+            (5, "alpha beta gamma alpha beta gamma"),  # gram appears twice, counted once
+        ],
+        schema="doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma",), ("unrelated nonce words here",)], schema="text string"
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(docs, bench, n=3).collect()}
+    assert rows[1]["contaminated"] == 1 and rows[1]["n_overlap"] == 1
+    assert rows[2]["contaminated"] == 1
+    assert rows[3]["contaminated"] == 0 and rows[3]["n_overlap"] == 0
+    assert rows[4]["contaminated"] == 0
+    assert rows[5]["n_overlap"] == 1  # distinct grams, not occurrences
+
+
+def test_decontaminate_python_twin(spark):
+    rng = random.Random(13)
+    vocab = [f"w{k}" for k in range(12)]
+    mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))  # noqa: E731
+    docs = [(i, mk(rng.randint(0, 25))) for i in range(80)]
+    bench = [(mk(rng.randint(2, 15)),) for _ in range(10)]
+    n = 4
+
+    def grams(text):
+        ws = [w for w in re.split(r"\s+", re.sub(r"[^a-zA-Z0-9']+", " ", text.lower())) if w]
+        return {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
+
+    bset = set().union(*(grams(t) for (t,) in bench))
+    out = decontaminate(
+        spark.createDataFrame(docs, schema="doc_id long, text string"),
+        spark.createDataFrame(bench, schema="text string"),
+        n=n,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    for i, text in docs:
+        expect = len(grams(text) & bset)
+        assert rows[i]["n_overlap"] == expect, (i, text)
+        assert rows[i]["contaminated"] == int(expect > 0)
+
+
+def test_decontaminate_broadcasts_bench_grams(spark):
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.lit("a b c d e f g h i j"), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    bench = spark.createDataFrame([("a b c d e f g h",)], schema="text string")
+    plan = decontaminate(docs, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
