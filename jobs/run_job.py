@@ -60,6 +60,13 @@ def main() -> None:
                     help="corpus_build sampled-corpus size target")
     ap.add_argument("--token-budget", type=int, default=3000,
                     help="corpus_build per-stratum token budget")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="corpus_build: redact PII before token counting")
+    ap.add_argument("--decontam-bench", default=None,
+                    help="corpus_build: benchmark parquet with a text column; "
+                         "docs sharing any --decontam-n word-gram are dropped")
+    ap.add_argument("--decontam-n", type=int, default=8,
+                    help="corpus_build decontamination n-gram size")
     ap.add_argument("--out", default=None, help="report output path")
     args = ap.parse_args()
 
@@ -228,8 +235,11 @@ def main() -> None:
                 ap.error(f"--targets share {v!r} for {k!r} is not a number")
         # persist: write + count + sample otherwise re-run the full
         # filter->dedup->mixture->pack pipeline three times
+        bench = spark.read.parquet(args.decontam_bench) if args.decontam_bench else None
         df = run_job(args.job_type, spark, read("documents"), targets=targets,
-                     total_rows=args.total_rows, budget=args.token_budget).persist()
+                     total_rows=args.total_rows, budget=args.token_budget,
+                     redact_pii=args.redact_pii, bench=bench,
+                     decontam_n=args.decontam_n).persist()
         if args.out:
             df.write.mode("overwrite").parquet(args.out)
             out["corpus_path"] = args.out

@@ -35,11 +35,26 @@ def build_corpus(
     min_quality_deci: int = 8,
     sample_salt: str = "cb",
     pack_salt: str = "cbp",
+    redact_pii: bool = False,
+    bench: DataFrame | None = None,
+    decontam_n: int = 8,
 ) -> DataFrame:
     """docs(id, strata, text) → the kept corpus (id, strata, n_tokens,
     cum_tokens): quality-filtered, exact-deduped (one canonical doc per
     identical-text cluster), sampled to the target mixture, greedily packed
-    to `budget` tokens per stratum in deterministic hash order."""
+    to `budget` tokens per stratum in deterministic hash order.
+
+    Optional scrub stages (defaults off keep the original contract):
+    redact_pii=True replaces the text with textops.pii_redact BEFORE any
+    token counting — downstream tokens/quality/dedup all operate on the
+    scrubbed text, so two docs differing only in their PII become exact
+    duplicates and collapse in the dedup stage. bench != None drops every
+    quality-passing doc sharing a decontam_n word-gram with the benchmark
+    table (textops.decontaminate_filter; the anti-join runs after the
+    quality filter so only surviving docs are gram-ified, but the two row
+    predicates commute so the kept set is order-independent)."""
+    if redact_pii:
+        docs = docs.withColumn(text_col, textops.pii_redact(F.col(text_col)))
     t = F.col(text_col)
     d = docs.select(
         id_col, strata_col, text_col, textops.token_count(t).alias("n_tokens")
@@ -51,6 +66,10 @@ def build_corpus(
         + F.when(textops.stopword_ratio(t) >= 0.05, 3).otherwise(1)
     )
     filtered = d.filter(quality_deci >= min_quality_deci)
+    if bench is not None:
+        filtered = textops.decontaminate_filter(
+            filtered, bench, n=decontam_n, text_col=text_col, id_col=id_col
+        )
     h = filtered.select(F.md5(text_col).alias("h"), id_col)
     keepers = h.groupBy("h").agg(F.min(id_col).alias("a"))
     pairs = (

@@ -232,6 +232,15 @@ PII_PATTERNS = (
 )
 
 
+def pii_redact(text: Column) -> Column:
+    """The redaction column alone: patterns applied in PII_PATTERNS order,
+    each over the previous output; NULL text behaves as empty."""
+    red = F.coalesce(text, F.lit(""))
+    for _name, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return red
+
+
 def pii_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document PII scan + redaction in one pass.
 
@@ -284,18 +293,8 @@ def decontaminate(
     n-grams that occur anywhere in the benchmark, contaminated = n_overlap
     > 0. Docs shorter than n words have no grams and are never flagged.
     """
-    bench_grams = (
-        bench.select(F.explode(word_ngrams_or_empty(_words(F.col(text_col)), n)).alias("gram"))
-        .distinct()
-    )
-    doc_grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_ngrams_or_empty(_words(F.col(text_col)), n))).alias(
-            "gram"
-        ),
-    )
     hits = (
-        doc_grams.join(F.broadcast(bench_grams), "gram")
+        _bench_gram_hits(docs, bench, n, text_col, id_col)
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
     )
@@ -308,3 +307,40 @@ def decontaminate(
             (F.coalesce("n_overlap", F.lit(0)) > 0).cast("int").alias("contaminated"),
         )
     )
+
+
+def _bench_gram_hits(
+    docs: DataFrame, bench: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, gram) rows for every DISTINCT doc n-gram that occurs in the
+    benchmark — the shared core of decontaminate (counts) and
+    decontaminate_filter (anti-join). Bench gram set broadcast; the corpus
+    side only explodes (narrow) and probes the hash in place."""
+    bench_grams = bench.select(
+        F.explode(word_ngrams_or_empty(_words(F.col(text_col)), n)).alias("gram")
+    ).distinct()
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_ngrams_or_empty(_words(F.col(text_col)), n))).alias(
+            "gram"
+        ),
+    )
+    return doc_grams.join(F.broadcast(bench_grams), "gram")
+
+
+def decontaminate_filter(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop contaminated docs (the pipeline form of decontaminate): left-anti
+    join of the corpus against the distinct hit-id set. Same broadcast shape;
+    returns docs with its original columns."""
+    hit_ids = (
+        _bench_gram_hits(docs, bench, n, text_col, id_col)
+        .select(F.col("doc_id").alias("_hit_id"))
+        .distinct()
+    )
+    return docs.join(hit_ids, docs[id_col] == hit_ids["_hit_id"], "left_anti")

@@ -3200,3 +3200,144 @@ FROM d LEFT JOIN hits h USING (doc_id)
 
 SPARK_QUERIES["decontaminate"] = q_decontaminate
 SQL_ORACLES["decontaminate"] = SQL_DECONTAMINATE
+
+
+# ---------------------------------------------------------------------------
+# corpus_build_clean (operators/corpus.py build_corpus with the scrub stages
+# on): PII redaction BEFORE token counting (so scrubbed near-twins become
+# exact duplicates and collapse in the dedup stage) + benchmark
+# decontamination as a quality-stage anti-join. Input grafts 40 PII-carrying
+# docs (varying note token keeps them distinct after redaction); the bench
+# set is every doc_id % 100 == 0 document verbatim. DuckDB re-derives the
+# WHOLE pipeline — redaction, tokenization, quality deci-points, the contam
+# anti-set, window-MIN dedup, mixture rates, naive cumsum packing — from the
+# raw bytes with different algorithms at every stage.
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_build_clean(spark, sf_dir):
+    from .operators.corpus import build_corpus
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    i = F.col("id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    base20 = (
+        "the quick brown fox jumps over the lazy dog and runs to the barn "
+        "for it is warm in there"
+    )
+    graft = spark.range(40).select(
+        (i + 40_000_000).alias("doc_id"),
+        F.when(i % 2 == 0, "en").otherwise("de").alias("lang"),
+        F.concat(
+            F.lit(base20 + " write to user"),
+            s(i),
+            F.lit("@mail"),
+            s(i % 3),
+            F.lit(".example.com or call 555-"),
+            s(i + 100),
+            F.lit("-"),
+            s(i + 4000),
+            F.lit(" soon note v"),
+            s(i),
+        ).alias("text"),
+    )
+    docs = d.union(graft)
+    bench = d.filter(F.col("doc_id") % 100 == 0).select("text")
+    return build_corpus(
+        docs,
+        targets={"en": 0.6, "de": 0.2, "es": 0.2},
+        total_rows=150.0,
+        budget=3000,
+        redact_pii=True,
+        bench=bench,
+        decontam_n=8,
+    )
+
+
+SQL_CORPUS_BUILD_CLEAN = f"""
+WITH base AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT i + 40000000,
+         CASE WHEN i % 2 = 0 THEN 'en' ELSE 'de' END,
+         'the quick brown fox jumps over the lazy dog and runs to the barn for it is warm in there write to user'
+           || i || '@mail' || (i % 3) || '.example.com or call 555-' || (i + 100) || '-' || (i + 4000)
+           || ' soon note v' || i
+  FROM range(0, 40) t(i)
+), red AS (
+  SELECT doc_id, lang,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(coalesce(text, ''),
+                              '[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}\\b', '<PHONE>', 'g'),
+             '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b', '<SSN>', 'g'),
+           '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IPV4>', 'g') AS text
+  FROM base
+), w AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')), '\\s+'),
+                     x -> length(x) > 0) AS words
+  FROM red
+), m AS (
+  SELECT doc_id, lang, text, words, len(words) AS n_tokens,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+           / GREATEST(length(text), 1) AS praw,
+         len(list_filter(words, x -> x IN ({_SQL_CORPUS_BUILD_SW})))::DOUBLE
+           / GREATEST(len(words), 1) AS sraw
+  FROM w
+), f AS (
+  SELECT doc_id, lang, text, words, n_tokens FROM m
+  WHERE (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 4
+              WHEN n_tokens >= 5 THEN 2 ELSE 0 END
+       + CASE WHEN praw <= 0.2 THEN 3 ELSE 1 END
+       + CASE WHEN sraw >= 0.05 THEN 3 ELSE 1 END) >= 8
+), btok AS (
+  SELECT list_filter(string_split_regex(lower(regexp_replace(coalesce(text, ''), '[^a-zA-Z0-9'']+', ' ', 'g')), '\\s+'),
+                     x -> length(x) > 0) AS words
+  FROM documents WHERE doc_id % 100 = 0
+), bgrams AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(words) - 6),
+                                        j -> array_to_string(words[j:j+7], ' '))) AS gram
+  FROM btok WHERE len(words) >= 8
+), contam AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(words) - 6),
+                                 j -> array_to_string(words[j:j+7], ' '))) AS gram
+    FROM f WHERE len(words) >= 8
+  ) dg JOIN bgrams USING (gram)
+), f2 AS (
+  SELECT doc_id, lang, text, n_tokens FROM f
+  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+), ded AS (
+  SELECT doc_id, lang, n_tokens FROM (
+    SELECT doc_id, lang, n_tokens,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS cl
+    FROM f2) WHERE doc_id = cl
+), t(lang, tgt) AS (VALUES ('de', 0.2), ('en', 0.6), ('es', 0.2)),
+c AS (SELECT lang, COUNT(*) AS n FROM ded GROUP BY lang),
+r AS (SELECT c.lang, LEAST(1.0, 150.0 * t.tgt / c.n) AS rate
+      FROM c JOIN t ON c.lang = t.lang),
+mx AS (
+  SELECT d.doc_id, d.lang, d.n_tokens
+  FROM ded d JOIN r ON d.lang = r.lang
+  WHERE r.rate >= 1.0
+     OR (r.rate > 0.0
+         AND substr(md5('cb|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+             < printf('%08x', CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT)))
+), pk AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5('cbp|' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM mx
+)
+SELECT doc_id, lang, n_tokens, cum_tokens FROM pk WHERE cum_tokens <= 3000
+"""
+
+SPARK_QUERIES["corpus_build_clean"] = q_corpus_build_clean
+SQL_ORACLES["corpus_build_clean"] = SQL_CORPUS_BUILD_CLEAN

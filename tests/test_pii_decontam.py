@@ -50,7 +50,7 @@ def test_pii_python_twin(spark):
         "555-000-1111",
         "999-11-2222",
         "8.8.8.8",
-        "not555-000-1111",  # no \b before the first digit group? ('t' is a word char -> still boundary-free? t|5 is word/word? no: t and 5 are both word chars -> NO boundary)
+        "not555-000-1111",  # 't'|'5' are both word chars: no \b, so no phone match
         "x.y",
         "12.34",
         "user.name%tag@mail.example.com",
@@ -131,3 +131,46 @@ def test_decontaminate_broadcasts_bench_grams(spark):
     bench = spark.createDataFrame([("a b c d e f g h",)], schema="text string")
     plan = decontaminate(docs, bench, n=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_build_corpus_scrub_stages(spark):
+    from link_profiler_repo_spark.operators.corpus import build_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs to the barn "
+        "for it is warm in there today again"
+    )
+    docs = spark.createDataFrame(
+        [
+            # PII twins: identical after redaction -> dedup keeps doc 1 only
+            (1, "en", base + " mail a@x.io now"),
+            (2, "en", base + " mail b@y.io now"),
+            # contaminated: shares an 8-gram with the bench row
+            (3, "en", base + " extra tail words here"),
+            # clean keeper
+            (4, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                      "the and of to in is it that for a plus more words here now"),
+        ],
+        schema="doc_id long, lang string, text string",
+    )
+    bench = spark.createDataFrame([(base,)], schema="text string")
+    out = build_corpus(
+        docs,
+        targets={"en": 1.0},
+        total_rows=100.0,
+        budget=10_000,
+        redact_pii=True,
+        bench=bench,
+        decontam_n=8,
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # 1 and 2 are contaminated TOO (they contain base verbatim) -> all of
+    # 1,2,3 drop via the anti-join; only 4 survives
+    assert kept == [4]
+
+    # without the bench, redaction-created twins collapse to the canonical min
+    out2 = build_corpus(
+        docs, targets={"en": 1.0}, total_rows=100.0, budget=10_000, redact_pii=True
+    )
+    kept2 = sorted(r["doc_id"] for r in out2.collect())
+    assert 1 in kept2 and 2 not in kept2 and 3 in kept2 and 4 in kept2
