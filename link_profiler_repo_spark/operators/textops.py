@@ -344,3 +344,57 @@ def decontaminate_filter(
         .distinct()
     )
     return docs.join(hit_ids, docs[id_col] == hit_ids["_hit_id"], "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020 §2.2, "Exploring the Limits of
+# Transfer Learning..."): the published line-level corpus cleaner that
+# complements the doc-level Gopher repetition rules above. Implemented
+# subset (the deterministic, language-independent rules): keep only lines
+# ending in a terminal punctuation mark; drop lines with fewer than 5
+# words; drop lines containing the word "javascript"; drop whole pages
+# containing "{" (code) or "lorem ipsum" (boilerplate); retain only pages
+# with at least 3 sentences after line cleaning. (C4's bad-word list and
+# langdetect gate are corpus-policy choices, not engine semantics — the
+# lang gate already exists as textops.lang_id.)
+# ---------------------------------------------------------------------------
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """Per-doc C4 line cleaning in one projection (array ops inside
+    whole-stage codegen, zero shuffles, zero UDFs): returns (doc_id,
+    n_lines, n_kept, n_sentences, c4_keep, clean_text) where clean_text is
+    the retained trimmed lines re-joined by newlines and c4_keep applies
+    the page-level rules to the cleaned page."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.transform(F.split(t, r"\n"), lambda x: F.trim(x))
+    line_words = lambda l: F.size(  # noqa: E731
+        F.filter(F.split(l, r"\s+"), lambda x: F.length(x) > 0)
+    )
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"]$')
+        & (line_words(l) >= min_words_per_line)
+        & ~F.contains(F.lower(l), F.lit("javascript")),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.regexp_count(clean, F.lit(r"[.!?]"))
+    keep = (
+        ~F.contains(F.lower(t), F.lit("lorem ipsum"))
+        & ~F.contains(t, F.lit("{"))
+        & (n_sentences >= min_sentences)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        n_sentences.alias("n_sentences"),
+        keep.cast("int").alias("c4_keep"),
+        clean.alias("clean_text"),
+    )

@@ -3341,3 +3341,79 @@ SELECT doc_id, lang, n_tokens, cum_tokens FROM pk WHERE cum_tokens <= 3000
 
 SPARK_QUERIES["corpus_build_clean"] = q_corpus_build_clean
 SQL_ORACLES["corpus_build_clean"] = SQL_CORPUS_BUILD_CLEAN
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (operators/textops.py c4_clean — Raffel et al. 2020
+# §2.2). The harness texts are single-line without terminal punctuation
+# (all dropped by the line rule), so 30 grafted multi-line docs exercise
+# every rule: terminal-punctuation keep, <5-word drop, javascript drop,
+# '{' page drop, lorem-ipsum page drop, >=3-sentence page gate. DuckDB
+# re-derives line splitting, the three line predicates, the re-join, and
+# the page rules from the raw bytes.
+# ---------------------------------------------------------------------------
+
+
+def q_c4_clean(spark, sf_dir):
+    from .operators.textops import c4_clean
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    graft = spark.range(30).select(
+        (i + 50_000_000).alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("this is a good sentence with enough words v"), s(i), F.lit(".")),
+            F.lit("too short here."),
+            F.lit("please enable javascript to view the content here."),
+            F.lit("another fine long sentence appears right here!"),
+            F.concat(F.lit("a third complete sentence lands here for doc "), s(i % 7), F.lit(".")),
+            F.when(i % 4 == 0, F.lit("code { block }")),
+            F.when(i % 5 == 0, F.lit("Lorem Ipsum dolor sit amet appears.")),
+        ).alias("text"),
+    )
+    return c4_clean(d.union(graft))
+
+
+SQL_C4_CLEAN = """
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  UNION ALL
+  SELECT i + 50000000,
+         concat_ws(chr(10),
+           'this is a good sentence with enough words v' || i || '.',
+           'too short here.',
+           'please enable javascript to view the content here.',
+           'another fine long sentence appears right here!',
+           'a third complete sentence lands here for doc ' || (i % 7) || '.',
+           CASE WHEN i % 4 = 0 THEN 'code { block }' END,
+           CASE WHEN i % 5 = 0 THEN 'Lorem Ipsum dolor sit amet appears.' END)
+  FROM range(0, 30) t(i)
+), l AS (
+  SELECT doc_id, text,
+         list_transform(string_split(text, chr(10)), x -> trim(x)) AS lines
+  FROM d
+), k AS (
+  SELECT doc_id, text, len(lines) AS n_lines,
+         list_filter(lines, x ->
+           regexp_matches(x, '[.!?"]$')
+           AND len(list_filter(string_split_regex(x, '\\s+'), w -> length(w) > 0)) >= 5
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM l
+), c AS (
+  SELECT doc_id, text, n_lines, len(kept) AS n_kept,
+         coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+  FROM k
+)
+SELECT doc_id, n_lines, n_kept,
+       len(regexp_extract_all(clean_text, '[.!?]')) AS n_sentences,
+       CAST(NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')
+            AND len(regexp_extract_all(clean_text, '[.!?]')) >= 3 AS INT) AS c4_keep,
+       clean_text
+FROM c
+"""
+
+SPARK_QUERIES["c4_clean"] = q_c4_clean
+SQL_ORACLES["c4_clean"] = SQL_C4_CLEAN

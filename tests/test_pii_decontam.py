@@ -174,3 +174,92 @@ def test_build_corpus_scrub_stages(spark):
     )
     kept2 = sorted(r["doc_id"] for r in out2.collect())
     assert 1 in kept2 and 2 not in kept2 and 3 in kept2 and 4 in kept2
+
+
+def test_c4_clean_golden(spark):
+    from link_profiler_repo_spark.operators.textops import c4_clean
+
+    doc = "\n".join(
+        [
+            "A proper sentence with exactly enough words.",  # kept
+            "Short line.",  # <5 words
+            "no terminal punctuation on this line at all",  # no [.!?"]
+            "Please enable JavaScript to continue reading this.",  # javascript
+            'He said "this quoted line has enough words."',  # ends with "
+            "Another complete sentence finishes the page properly!",
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, doc),
+            (2, doc + "\nvar x = { a: 1 };"),  # '{' -> page dropped
+            (3, doc.replace("quoted", "lorem ipsum")),  # page dropped
+            (4, "One good sentence with enough words here."),  # <3 sentences
+            (5, None),
+        ],
+        schema="doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in c4_clean(docs).collect()}
+    assert rows[1]["n_lines"] == 6 and rows[1]["n_kept"] == 3
+    assert rows[1]["clean_text"].splitlines() == [
+        "A proper sentence with exactly enough words.",
+        'He said "this quoted line has enough words."',
+        "Another complete sentence finishes the page properly!",
+    ]
+    # the quoted line contributes its inner '.' to the sentence count
+    assert rows[1]["n_sentences"] == 3 and rows[1]["c4_keep"] == 1
+    assert rows[2]["c4_keep"] == 0  # '{'
+    assert rows[3]["c4_keep"] == 0  # lorem ipsum (case-insensitive)
+    assert rows[4]["n_kept"] == 1 and rows[4]["c4_keep"] == 0  # <3 sentences
+    assert rows[5]["n_kept"] == 0 and rows[5]["clean_text"] == ""
+
+
+def test_c4_clean_python_twin(spark):
+    import re as _re
+
+    from link_profiler_repo_spark.operators.textops import c4_clean
+
+    rng = random.Random(29)
+    line_pool = [
+        "a full sentence with plenty of words today.",
+        "short one.",
+        "unterminated line with several words in it",
+        "javascript required for this widget to render.",
+        "every rule gets exercised by this long line!",
+        "brace { here",
+        "lorem ipsum filler sentence appears right here.",
+        'quoted "ending line with enough words here."',
+        "",
+        "   padded line with enough words to pass.   ",
+    ]
+    docs = [
+        (i, "\n".join(rng.choice(line_pool) for _ in range(rng.randint(1, 9))))
+        for i in range(60)
+    ]
+    rows = {
+        r["doc_id"]: r
+        for r in c4_clean(
+            spark.createDataFrame(docs, schema="doc_id long, text string")
+        ).collect()
+    }
+    for i, text in docs:
+        lines = [ln.strip() for ln in text.split("\n")]
+        kept = [
+            ln
+            for ln in lines
+            if _re.search(r'[.!?"]$', ln)
+            and len(ln.split()) >= 5
+            and "javascript" not in ln.lower()
+        ]
+        clean = "\n".join(kept)
+        n_sent = len(_re.findall(r"[.!?]", clean))
+        keep = int(
+            "lorem ipsum" not in text.lower() and "{" not in text and n_sent >= 3
+        )
+        r = rows[i]
+        assert (r["n_lines"], r["n_kept"], r["n_sentences"]) == (
+            len(lines),
+            len(kept),
+            n_sent,
+        ), (i, text)
+        assert r["clean_text"] == clean and r["c4_keep"] == keep, (i, text)
