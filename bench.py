@@ -62,6 +62,11 @@ HEADLINE = [
     "repetition_profile",
     "incremental_profile",
     "corpus_build",
+    # r5 fourth-session additions (scrub/cleaning family)
+    "pii_scan",
+    "c4_clean",
+    "decontaminate",
+    "corpus_build_clean",
 ]
 
 

@@ -315,15 +315,25 @@ def _bench_gram_hits(
     """(doc_id, gram) rows for every DISTINCT doc n-gram that occurs in the
     benchmark — the shared core of decontaminate (counts) and
     decontaminate_filter (anti-join). Bench gram set broadcast; the corpus
-    side only explodes (narrow) and probes the hash in place."""
-    bench_grams = bench.select(
-        F.explode(word_ngrams_or_empty(_words(F.col(text_col)), n)).alias("gram")
-    ).distinct()
-    doc_grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_ngrams_or_empty(_words(F.col(text_col)), n))).alias(
-            "gram"
-        ),
+    side only explodes (narrow) and probes the hash in place.
+
+    Words and grams are staged through named columns (words -> grams ->
+    explode of the column REFERENCE) exactly like repetition_profile —
+    exploding the inline expression re-evaluates the whole tokenize+zip_with
+    tree per OUTPUT gram (measured 56s -> 3.4s for the decontaminate gate
+    query on 5k docs at sf0.1)."""
+    bench_grams = (
+        bench.select(_words(F.col(text_col)).alias("_w"))
+        .select(word_ngrams_or_empty(F.col("_w"), n).alias("_grams"))
+        .select(F.explode("_grams").alias("gram"))
+        .distinct()
+    )
+    doc_grams = (
+        docs.select(F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("_w"))
+        .select(
+            "doc_id", F.array_distinct(word_ngrams_or_empty(F.col("_w"), n)).alias("_grams")
+        )
+        .select("doc_id", F.explode("_grams").alias("gram"))
     )
     return doc_grams.join(F.broadcast(bench_grams), "gram")
 
