@@ -3417,3 +3417,108 @@ FROM c
 
 SPARK_QUERIES["c4_clean"] = q_c4_clean
 SQL_ORACLES["c4_clean"] = SQL_C4_CLEAN
+
+
+# ---------------------------------------------------------------------------
+# LM perplexity filter (operators/langmodel.py — the CCNet corpus-quality
+# stage, Wenzek et al. LREC 2020 §3.3, as a bigram Jelinek-Mercer LM trained
+# relationally). No reference counterpart — added LLM-pipeline surface.
+# Train slice = doc_id % 3 != 0 of the scored corpus; grafts: 5 nonce docs
+# (ids straddle the train split, so some have KNOWN bigrams and some are
+# fully OOV — both smoothing paths carry weight) + a one-word doc (pure
+# <s>-context position) + an empty doc (must vanish: zero positions).
+# DuckDB re-derives tokenization, the three count tables, the IEEE double
+# dag, and the micro-nat quantization from the raw bytes; sums are exact
+# BIGINTs so the comparison is order-free.
+# ---------------------------------------------------------------------------
+
+
+def q_lm_perplexity(spark, sf_dir):
+    from .operators.langmodel import lm_score, train_bigram_lm
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    nonce = spark.range(5).select(
+        (i + 50_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit("zzq"), s(i), F.lit(chr(ord("a") + k))) for k in range(3)],
+        ).alias("text"),
+    )
+    single = spark.range(1).select(
+        (i + 50_000_005).alias("doc_id"), F.lit("zzqsingle").alias("text")
+    )
+    empty = spark.range(1).select(
+        (i + 50_000_006).alias("doc_id"), F.lit("").alias("text")
+    )
+    docs = d.unionByName(nonce).unionByName(single).unionByName(empty)
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    return lm_score(
+        docs, train_bigram_lm(train), lam=0.7, keep_avg_logprob=-3.4
+    )
+
+
+SQL_LM_PERPLEXITY = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT 50000000 + i,
+         'zzq' || i || 'a' || ' ' || 'zzq' || i || 'b' || ' ' || 'zzq' || i || 'c'
+  FROM range(0, 5) t(i)
+  UNION ALL SELECT 50000005, 'zzqsingle'
+  UNION ALL SELECT 50000006, ''
+),
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')), '\\s+'),
+                     x -> length(x) > 0) AS words
+  FROM base
+),
+tr AS (SELECT words FROM tok WHERE doc_id % 3 <> 0),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+  FROM (SELECT unnest(words) AS w FROM tr) GROUP BY w
+),
+tot AS (
+  SELECT CAST(COALESCE(SUM(cw), 0) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM uni
+),
+big AS (
+  SELECT v, w, CAST(COUNT(*) AS BIGINT) AS cvw
+  FROM (
+    SELECT unnest(s[1:len(s)-1]) AS v, unnest(s[2:len(s)]) AS w
+    FROM (SELECT ['<s>'] || words AS s FROM tr WHERE len(words) >= 1)
+  ) GROUP BY v, w
+),
+ctx AS (SELECT v, CAST(SUM(cvw) AS BIGINT) AS cv FROM big GROUP BY v),
+pos AS (
+  SELECT doc_id, unnest(s[1:len(s)-1]) AS v, unnest(s[2:len(s)]) AS w
+  FROM (SELECT doc_id, ['<s>'] || words AS s FROM tok WHERE len(words) >= 1)
+),
+scored AS (
+  SELECT p.doc_id,
+         CAST(ROUND(ln(
+             0.7 * (CASE WHEN b.cvw IS NOT NULL
+                         THEN CAST(b.cvw AS DOUBLE) / CAST(c.cv AS DOUBLE)
+                         ELSE 0.0 END)
+             + (1.0 - 0.7) * ((CAST(COALESCE(u.cw, 0) AS DOUBLE) + 1.0)
+                              / (CAST(t.n_total AS DOUBLE) + CAST(t.vocab AS DOUBLE) + 1.0))
+           ) * 1000000.0, 0) AS BIGINT) AS lp
+  FROM pos p
+  LEFT JOIN big b ON b.v = p.v AND b.w = p.w
+  LEFT JOIN ctx c ON c.v = p.v
+  LEFT JOIN uni u ON u.w = p.w
+  CROSS JOIN tot t
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(lp) AS BIGINT) AS logprob_micro,
+       ROUND(CAST(SUM(lp) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logprob,
+       CAST(ROUND(CAST(SUM(lp) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE), 6) >= -3.4 AS INT) AS keep
+FROM scored GROUP BY doc_id
+"""
+
+SPARK_QUERIES["lm_perplexity"] = q_lm_perplexity
+SQL_ORACLES["lm_perplexity"] = SQL_LM_PERPLEXITY
