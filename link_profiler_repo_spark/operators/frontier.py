@@ -128,3 +128,97 @@ def schedule_epoch(
         )
     issued = per_host_topk(new, F.lit(host_budget), n_salt=n_salt)
     return issued.withColumn("url_hash", F.lower(F.hex("_k"))).drop("_k")
+
+
+# ---------------------------------------------------------------------------
+# Crawler-trap detection (Heydon & Najork, "Mercator: A scalable, extensible
+# web crawler", WWW 1999 §3.1 discusses infinite URL spaces / spider traps).
+# The reference has no counterpart — its queue caps depth per job but cannot
+# see that 600 frontier URLs on one host are a calendar widget. Added
+# frontier-hygiene surface: collapse URLs to structural templates (digit
+# runs -> {n}, long hex runs -> {hex}, query VALUES -> *, query params
+# SORTED so a=1&b=2 and b=2&a=1 meet), count distinct URLs per
+# (host, template), and flag hosts where one template owns >= min_share of
+# >= min_urls URLs — the signature of session-id / calendar / faceted-
+# navigation URL generators. Everything is pure Catalyst (regexp_replace /
+# array_sort in whole-stage codegen) and restricted to the regex subset
+# where Java and RE2 agree, so the DuckDB gate oracle re-derives it
+# byte-exactly.
+#
+# Scale shape: two keyed aggregations — (host, template) then host. The
+# trap key is by definition skewed (that is what it detects); the exact
+# count(DISTINCT url) reduce on a trap key sees all its URLs, so the
+# 100 TB path passes approx=True (HLL approx_count_distinct, fixed-size
+# partial state, no second expand) — detection thresholds are order-of-
+# magnitude, exactness only matters for the oracle.
+# ---------------------------------------------------------------------------
+
+
+def url_template(url: Column | str) -> Column:
+    """Structural template of a URL: host + normalized path + '?' +
+    normalized, sorted query params (empty query contributes nothing)."""
+    from ..functions.urls import url_host, url_path
+
+    c = F.col(url) if isinstance(url, str) else url
+    path_t = F.regexp_replace(
+        F.regexp_replace(url_path(c), r"[0-9a-fA-F]{8,}", "{hex}"),
+        r"[0-9]+",
+        "{n}",
+    )
+    q = F.regexp_extract(c, r"\?([^#]*)", 1)
+    q_sorted = F.concat_ws("&", F.array_sort(F.split(F.regexp_replace(q, "=[^&]*", "=*"), "&")))
+    return F.concat(
+        url_host(c),
+        path_t,
+        F.when(q != "", F.concat(F.lit("?"), q_sorted)).otherwise(F.lit("")),
+    )
+
+
+def url_templates(df: DataFrame, url_col: str = "url", approx: bool = False) -> DataFrame:
+    """Template grain: (host, template, n_urls, host_urls, share). share is
+    n_urls/host_urls rounded to 6 dp (exact IEEE division both engines)."""
+    from ..functions.urls import url_host
+
+    cnt = (
+        F.approx_count_distinct(url_col) if approx else F.count_distinct(F.col(url_col))
+    )
+    t = (
+        df.select(
+            url_host(F.col(url_col)).alias("host"),
+            url_template(F.col(url_col)).alias("template"),
+            F.col(url_col),
+        )
+        .groupBy("host", "template")
+        .agg(cnt.cast("long").alias("n_urls"))
+    )
+    totals = t.groupBy("host").agg(F.sum("n_urls").cast("long").alias("host_urls"))
+    return t.join(totals, "host").select(
+        "host",
+        "template",
+        "n_urls",
+        "host_urls",
+        F.round(F.col("n_urls").cast("double") / F.col("host_urls").cast("double"), 6).alias(
+            "share"
+        ),
+    )
+
+
+def trap_hosts(
+    df: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 100,
+    min_share: float = 0.5,
+    approx: bool = False,
+) -> DataFrame:
+    """Host grain: template diversity + the trap flag. A host is flagged when
+    any single template holds >= min_urls distinct URLs AND >= min_share of
+    the host's URLs; trap_templates counts how many templates do."""
+    t = url_templates(df, url_col, approx=approx)
+    is_trap_t = (F.col("n_urls") >= F.lit(min_urls)) & (F.col("share") >= F.lit(min_share))
+    return t.groupBy("host").agg(
+        F.max("host_urls").alias("host_urls"),
+        F.count("*").cast("long").alias("n_templates"),
+        F.max("n_urls").alias("max_template_urls"),
+        F.sum(is_trap_t.cast("long")).cast("long").alias("trap_templates"),
+        F.max(is_trap_t).cast("int").alias("is_trap"),
+    )

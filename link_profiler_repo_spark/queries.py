@@ -3522,3 +3522,97 @@ FROM scored GROUP BY doc_id
 
 SPARK_QUERIES["lm_perplexity"] = q_lm_perplexity
 SQL_ORACLES["lm_perplexity"] = SQL_LM_PERPLEXITY
+
+
+# ---------------------------------------------------------------------------
+# Crawler-trap detection (operators/frontier.py url_templates/trap_hosts —
+# Mercator WWW'99 infinite-URL-space hygiene; no reference counterpart).
+# range()-derived URL fixture both engines construct independently:
+# h0 calendar trap (600 distinct /cal/{n}/{n}/{n} + 2 static), h1 session-id
+# trap (150 ?sid= URLs, query values normalized), h2 healthy site (50
+# articles + statics + 4 duplicate rows that must collapse in the DISTINCT),
+# h3 param-order merge (a=..&b=2 vs b=2&a=.. meet in one template but stay
+# under min_urls), h4 hex-id trap (120 /u/{hex}/profile), h5 bare-host +
+# query-only-URL edge. DuckDB re-derives host/path/query extraction,
+# template normalization, sorting, distinct counts, and the flag.
+# ---------------------------------------------------------------------------
+
+
+def q_url_trap_hosts(spark, sf_dir):
+    from .operators.frontier import trap_hosts
+
+    i = F.col("id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    u = lambda df, col: df.select(col.alias("url"))  # noqa: E731
+    parts = [
+        u(spark.range(600), F.concat(F.lit("https://h0.example.com/cal/2020/"), s(i % 12 + 1), F.lit("/"), s(i + 1))),
+        u(spark.range(2), F.concat(F.lit("https://h0.example.com/"), F.when(i == 0, "about").otherwise("contact"))),
+        u(spark.range(150), F.concat(F.lit("https://h1.example.com/page?sid=s"), s(i), F.lit("x&p="), s(i % 7))),
+        u(spark.range(50), F.concat(F.lit("https://h2.example.com/article-"), s(i))),
+        u(spark.range(6), F.concat(F.lit("https://h2.example.com/"), F.when(i < 5, "about").otherwise("contact"))),
+        u(spark.range(60), F.when(i % 2 == 0, F.concat(F.lit("https://h3.example.com/s?a="), s(i), F.lit("&b=2")))
+                            .otherwise(F.concat(F.lit("https://h3.example.com/s?b=2&a="), s(i)))),
+        u(spark.range(120), F.concat(F.lit("https://h4.example.com/u/deadbeefcafe"), s(i), F.lit("/profile"))),
+        u(spark.range(1), F.lit("https://h5.example.com")),
+        u(spark.range(1), F.lit("https://h5.example.com/?x=1")),
+    ]
+    urls = parts[0]
+    for p in parts[1:]:
+        urls = urls.unionByName(p)
+    return trap_hosts(urls, min_urls=100, min_share=0.5)
+
+
+SQL_URL_TRAP_HOSTS = """
+WITH urls AS (
+  SELECT 'https://h0.example.com/cal/2020/' || (i % 12 + 1) || '/' || (i + 1) AS url FROM range(0, 600) t(i)
+  UNION ALL SELECT 'https://h0.example.com/' || (CASE WHEN i = 0 THEN 'about' ELSE 'contact' END) FROM range(0, 2) t(i)
+  UNION ALL SELECT 'https://h1.example.com/page?sid=s' || i || 'x&p=' || (i % 7) FROM range(0, 150) t(i)
+  UNION ALL SELECT 'https://h2.example.com/article-' || i FROM range(0, 50) t(i)
+  UNION ALL SELECT 'https://h2.example.com/' || (CASE WHEN i < 5 THEN 'about' ELSE 'contact' END) FROM range(0, 6) t(i)
+  UNION ALL SELECT CASE WHEN i % 2 = 0 THEN 'https://h3.example.com/s?a=' || i || '&b=2'
+                        ELSE 'https://h3.example.com/s?b=2&a=' || i END FROM range(0, 60) t(i)
+  UNION ALL SELECT 'https://h4.example.com/u/deadbeefcafe' || i || '/profile' FROM range(0, 120) t(i)
+  UNION ALL SELECT 'https://h5.example.com'
+  UNION ALL SELECT 'https://h5.example.com/?x=1'
+),
+parsed AS (
+  SELECT url,
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1) AS host,
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM urls
+),
+templ AS (
+  SELECT url, host,
+         host
+         || regexp_replace(regexp_replace(path, '[0-9a-fA-F]{8,}', '{hex}', 'g'), '[0-9]+', '{n}', 'g')
+         || (CASE WHEN q <> ''
+                  THEN '?' || array_to_string(list_sort(string_split(regexp_replace(q, '=[^&]*', '=*', 'g'), '&')), '&')
+                  ELSE '' END) AS template
+  FROM parsed
+),
+t AS (
+  SELECT host, template, CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls
+  FROM templ GROUP BY host, template
+),
+tt AS (
+  SELECT t.host, t.template, t.n_urls,
+         CAST(SUM(t.n_urls) OVER (PARTITION BY t.host) AS BIGINT) AS host_urls
+  FROM t
+),
+flagged AS (
+  SELECT host, template, n_urls, host_urls,
+         (n_urls >= 100 AND ROUND(CAST(n_urls AS DOUBLE) / CAST(host_urls AS DOUBLE), 6) >= 0.5) AS f
+  FROM tt
+)
+SELECT host,
+       CAST(MAX(host_urls) AS BIGINT) AS host_urls,
+       CAST(COUNT(*) AS BIGINT) AS n_templates,
+       CAST(MAX(n_urls) AS BIGINT) AS max_template_urls,
+       CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS trap_templates,
+       CAST(MAX(f) AS INT) AS is_trap
+FROM flagged GROUP BY host
+"""
+
+SPARK_QUERIES["url_trap_hosts"] = q_url_trap_hosts
+SQL_ORACLES["url_trap_hosts"] = SQL_URL_TRAP_HOSTS
