@@ -115,10 +115,18 @@ class CrawlEngine:
         # 'single': one broadcast bitmap (fine to ~10^8 seen). 'sidecar':
         # bucket-partitioned bitmap table — each probe task loads only its
         # bucket's files; the layout that survives 10^10 (bloom_sidecar.py).
+        # 'cuckoo': bucket-partitioned cuckoo-filter table — same pruned-probe
+        # discipline, plus DELETE (recrawl eviction; cuckoo_sidecar.py).
         self.bloom_layout = bloom_layout
         self.bloom_buckets = bloom_buckets
         self._sidecar_path = os.path.join(self.store.dir, "bloom_sidecar")
         self._sidecar_mbits = max(64, bloom_bits // max(bloom_buckets, 1))
+        self._cuckoo_path = os.path.join(self.store.dir, "cuckoo_sidecar")
+        # slots sized to the same key budget the bitmap was sized for
+        # (bloom_bits/16 keys at ~1% fpp) held at <= 50% cuckoo load; /4
+        # must stay a power of two, so round down.
+        per_bucket = max(4096, bloom_bits // 8 // max(bloom_buckets, 1))
+        self._cuckoo_slots = 1 << (per_bucket.bit_length() - 1)
         self.canonical_mode = canonical_mode
         # waves below this row count use single-partition ordering + writes
         # (1 job instead of 3; identical semantics — see order.with_global_index).
@@ -331,6 +339,13 @@ class CrawlEngine:
                 df, "xx64", self._sidecar_path,
                 n_buckets=self.bloom_buckets, m_bits=self._sidecar_mbits,
             )
+        elif self.use_bloom and self.bloom_layout == "cuckoo" and os.path.isdir(self._cuckoo_path):
+            from ..functions import cuckoo_sidecar
+
+            flagged = cuckoo_sidecar.probe(
+                df, "xx64", self._cuckoo_path,
+                n_buckets=self.bloom_buckets, slots_per_bucket=self._cuckoo_slots,
+            )
         elif bloom is not None and self.use_bloom:
             probe = might_contain_udf(bloom, self.bloom_bits, spark=self.spark)
             flagged = df.withColumn("_maybe", probe(F.col("xx64")))
@@ -357,7 +372,29 @@ class CrawlEngine:
                 n_buckets=self.bloom_buckets, m_bits=self._sidecar_mbits,
             )
             return bloom
+        if self.bloom_layout == "cuckoo":
+            from ..functions import cuckoo_sidecar
+
+            cuckoo_sidecar.update(
+                self.spark, self._cuckoo_path, inserts=df.select("xx64"),
+                n_buckets=self.bloom_buckets, slots_per_bucket=self._cuckoo_slots,
+            )
+            return bloom
         return add_to_bloom(bloom, df, "xx64", self.bloom_bits)
+
+    def evict_seen_prefilter(self, df: DataFrame) -> None:
+        """Recrawl eviction (operators/recrawl.py composition): remove url
+        keys from the cuckoo prefilter so re-admitted URLs flow through the
+        sure-new fast path again. Only the cuckoo layout can forget; callers
+        must also retire the rows from the exact seen table."""
+        if self.bloom_layout != "cuckoo":
+            raise ValueError("prefilter eviction requires bloom_layout='cuckoo'")
+        from ..functions import cuckoo_sidecar
+
+        cuckoo_sidecar.update(
+            self.spark, self._cuckoo_path, inserts=None, deletes=df.select("xx64"),
+            n_buckets=self.bloom_buckets, slots_per_bucket=self._cuckoo_slots,
+        )
 
     def _step(self, epoch: int, label: str) -> None:
         """Tag subsequent Spark jobs with the loop step that issued them, so
