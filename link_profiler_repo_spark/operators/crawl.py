@@ -32,6 +32,7 @@ retry demotion + dead-letter (:182-192).
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -395,6 +396,86 @@ class CrawlEngine:
             self.spark, self._cuckoo_path, inserts=None, deletes=df.select("xx64"),
             n_buckets=self.bloom_buckets, slots_per_bucket=self._cuckoo_slots,
         )
+
+    def readmit(self, urls: DataFrame, depth: int | None = None) -> int:
+        """Recrawl readmission — the operators/recrawl.py composition made a
+        durable engine action. Given due URLs (e.g. recrawl_schedule rows
+        whose revisit interval has elapsed):
+
+          1. retire them from the exact seen state (StateStore.retire — a
+             new state generation, the Iceberg DELETE equivalent; the
+             bucketed seen layout rebuilds from the retired deltas on
+             resume, so one retirement covers both layouts),
+          2. evict them from the cuckoo prefilter so they ride the sure-new
+             fast path again (cuckoo only; bloom/single layouts cannot
+             forget — retired keys stay prefilter-positive and merely pay
+             the exact anti-join, which now admits them: semantics identical,
+             speed degraded, documented in cuckoo_sidecar.py),
+          3. write them as the current frontier epoch (unioned with any
+             leftover frontier, wave_seq re-densified) and re-commit the
+             checkpoint, so run_bfs(resume=True) re-fetches them with fresh
+             crawl_order continuing the global counter.
+
+        By default each URL re-enters at its ORIGINAL depth (carried from the
+        seen state), so the resumed expansion exactly mirrors the first crawl
+        — every outlink it re-emits was already admitted (or depth-pruned)
+        the first time, and the recrawl refreshes content without widening
+        the BFS horizon. Pass an explicit `depth` to deliberately re-expand
+        (e.g. depth=0 treats the due set as fresh seeds).
+
+        Returns the number of frontier rows admitted for the next resume.
+        The caller raises cfg.max_pages if the original budget is spent —
+        readmission never silently widens a budget."""
+        store, spark = self.store, self.spark
+        ckpt = store.read_checkpoint()
+        if ckpt is None:
+            raise ValueError("readmit requires a checkpointed crawl to resume from")
+        epoch = int(ckpt["epoch"])
+
+        # Snapshot the due-set to parquet BEFORE retiring: the natural caller
+        # derives `urls` from the seen table itself (e.g. recrawl_schedule over
+        # crawl history), so its lazy plan reads the very generation files
+        # retire() deletes — every use of `keyed` after the retire would hit
+        # FileNotFoundException on the old generation. One tiny write severs
+        # the lineage (due-sets are a sliver of the seen table by design).
+        snap_dir = os.path.join(store.dir, "_readmit_keys")
+        shutil.rmtree(snap_dir, ignore_errors=True)
+        keyed_urls = self._with_keys(urls.select("url").distinct())
+        if depth is None:
+            seen_depth = store.read_deltas(spark, "seen", 1 << 62).select(
+                "url_hash", "depth"
+            )
+            # left join: a URL never crawled (not in seen) readmits at depth 0
+            keyed_urls = (
+                keyed_urls.join(seen_depth, "url_hash", "left")
+                .withColumn("depth", F.coalesce(F.col("depth"), F.lit(0)))
+            )
+        else:
+            keyed_urls = keyed_urls.withColumn("depth", F.lit(int(depth)))
+        keyed_urls.write.parquet(snap_dir)
+        keyed = spark.read.parquet(snap_dir)
+        store.retire(spark, "seen", keyed, key_col="url_hash")
+        if self.bloom_layout == "cuckoo" and os.path.isdir(self._cuckoo_path):
+            self.evict_seen_prefilter(keyed)
+
+        leftover = store.read_epoch(spark, "frontier", epoch)
+        n_left = leftover.count()
+        small = n_left + 1 < self.small_wave_threshold
+        readd, n_new = with_global_index(keyed, ["url"], "wave_seq", small=small)
+        readd = readd.withColumn("wave_seq", F.col("wave_seq") + F.lit(n_left))
+        merged = leftover.select(*_FRONTIER_COLS).unionByName(
+            readd.select(*_FRONTIER_COLS)
+        )
+        # write via a temp epoch dir, then swap: the overwrite target is the
+        # same directory the merged plan reads from (leftover's lineage)
+        tmp_epoch = -(epoch + 1)
+        store.write_epoch("frontier", tmp_epoch, merged)
+        stored = store.read_epoch(spark, "frontier", tmp_epoch)
+        store.write_epoch("frontier", epoch, stored)
+        shutil.rmtree(store._epoch_dir("frontier", tmp_epoch), ignore_errors=True)
+        store.commit({**ckpt, "readmitted": n_new})
+        shutil.rmtree(snap_dir, ignore_errors=True)
+        return n_left + n_new
 
     def _step(self, epoch: int, label: str) -> None:
         """Tag subsequent Spark jobs with the loop step that issued them, so

@@ -192,6 +192,40 @@ class StateStore:
         for g in range(new_gen):
             shutil.rmtree(self._table_dir(table, g), ignore_errors=True)
 
+    def retire(
+        self,
+        spark: SparkSession,
+        table: str,
+        keys: DataFrame,
+        key_col: str = "url_hash",
+        broadcast_keys: bool = True,
+    ) -> None:
+        """Iceberg DELETE equivalent: fold all of `table`'s deltas into a new
+        generation MINUS the given keys (anti-join on key_col), with the same
+        crash-safe generation-pointer commit as compact(). Used by recrawl
+        readmission (CrawlEngine.readmit) to retire due URLs from the exact
+        seen set. A recrawl due-set is normally tiny next to the seen table,
+        so the anti-join broadcasts the keys by default; pass
+        broadcast_keys=False for a bulk retirement wave to let AQE pick."""
+        import shutil
+
+        df = self.read_deltas(spark, table, upto_epoch=1 << 62)
+        if df is None:
+            return
+        k = keys.select(key_col).distinct()
+        if broadcast_keys:
+            k = F.broadcast(k)
+        pruned = df.join(k, key_col, "left_anti")
+        old_gen = self._gen(table)
+        new_gen = old_gen + 1
+        new_dir = self._table_dir(table, new_gen)
+        if os.path.isdir(new_dir):  # garbage from a prior crash before commit
+            shutil.rmtree(new_dir)
+        pruned.drop("epoch").write.parquet(os.path.join(new_dir, "epoch=0"))
+        self._set_gen(table, new_gen)  # commit point
+        for g in range(new_gen):
+            shutil.rmtree(self._table_dir(table, g), ignore_errors=True)
+
     # -- bloom sidecar ---------------------------------------------------------
     def write_bloom(self, epoch: int, bitmap: np.ndarray) -> str:
         path = os.path.join(self.dir, f"bloom_epoch{epoch}.npy")
