@@ -3616,3 +3616,70 @@ FROM flagged GROUP BY host
 
 SPARK_QUERIES["url_trap_hosts"] = q_url_trap_hosts
 SQL_ORACLES["url_trap_hosts"] = SQL_URL_TRAP_HOSTS
+
+
+# -- WARC archive source round trip (S-family: the raw Common Crawl tier) ----
+
+_GATE_WARC_DIR = f"/tmp/spark_graft_gate_warc_{os.getpid()}"
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC sink -> source round trip, hash-gated against the independent
+    twin parser (sources/warc.py oracle_warc_parse: gzip.open + BytesIO
+    readline + email-parser headers — zero shared code with the engine's
+    member-splitting index walk). The fixture writes REAL per-record-gzip
+    archive files through the distributed sink; the Spark side re-reads
+    them with read_warc; the twin parses the same files in the driver and
+    exports its table to parquet for DuckDB (the crawl-ordering oracle
+    pattern). Payload bytes compare as md5 hex (computed independently:
+    F.md5 on the engine side, hashlib on the twin side)."""
+    import hashlib
+    import shutil
+
+    from .sources.warc import (
+        oracle_warc_parse,
+        read_warc,
+        save_warc,
+        synth_warc_records,
+    )
+
+    shutil.rmtree(_GATE_WARC_DIR, ignore_errors=True)
+    arch = os.path.join(_GATE_WARC_DIR, "archive")
+    recs = synth_warc_records(spark, 40).repartition(4, "record_id")
+    manifest = save_warc(recs, arch, gzip_members=True).collect()
+
+    twin = oracle_warc_parse([r["path"] for r in manifest])
+    twin_df = spark.createDataFrame(
+        [
+            (
+                t["warc_file"], t["record_seq"], t["warc_type"], t["record_id"],
+                t["target_uri"], t["warc_date"], t["content_type"],
+                len(t["payload"]), hashlib.md5(t["payload"]).hexdigest(),
+            )
+            for t in twin
+        ],
+        schema=(
+            "warc_file string, record_seq int, warc_type string,"
+            " record_id string, target_uri string, warc_date string,"
+            " content_type string, byte_len long, payload_md5 string"
+        ),
+    )
+    twin_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_GATE_WARC_DIR, "twin")
+    )
+    return read_warc(spark, arch).select(
+        "warc_file", "record_seq", "warc_type", "record_id", "target_uri",
+        "warc_date", "content_type",
+        F.length("payload").cast("long").alias("byte_len"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+SQL_WARC_ROUNDTRIP = f"""
+SELECT warc_file, record_seq, warc_type, record_id, target_uri, warc_date,
+       content_type, byte_len, payload_md5
+FROM read_parquet('{_GATE_WARC_DIR}/twin/*.parquet')
+"""
+
+SPARK_QUERIES["warc_roundtrip"] = q_warc_roundtrip
+SQL_ORACLES["warc_roundtrip"] = SQL_WARC_ROUNDTRIP
