@@ -3683,3 +3683,102 @@ FROM read_parquet('{_GATE_WARC_DIR}/twin/*.parquet')
 
 SPARK_QUERIES["warc_roundtrip"] = q_warc_roundtrip
 SQL_ORACLES["warc_roundtrip"] = SQL_WARC_ROUNDTRIP
+
+
+# -- Hashed-NB quality classifier (operators/classifier.py — the fastText/
+# logistic "quality filtering" stage of GPT-3 App. A / CCNet / DCLM as a
+# deterministic in-engine stand-in). DuckDB re-derives EVERYTHING: the
+# tokenization, the unigram+bigram construction, the md5-prefix feature
+# hashing (collisions included), the NB training counts, the micro-nat
+# weight quantization, and the per-document integer score sums. -------------
+
+
+def q_quality_classifier(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("id")
+    grafts = spark.range(1).select(
+        (i + 60_000_000).alias("doc_id"),
+        F.lit("zzqnova grams never seen in training zzqnova again").alias("text"),
+    ).unionByName(
+        spark.range(1).select((i + 60_000_001).alias("doc_id"), F.lit("").alias("text"))
+    )
+    docs = d.unionByName(grafts)
+    labeled = d.filter(F.col("doc_id") % 5 != 0).select(
+        "text", (F.col("doc_id") % 2 == 0).cast("int").alias("label")
+    )
+    from .operators.classifier import quality_classifier
+
+    return quality_classifier(docs, labeled)
+
+
+SQL_QUALITY_CLASSIFIER = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT 60000000, 'zzqnova grams never seen in training zzqnova again'
+  UNION ALL SELECT 60000001, ''
+),
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')), '\\s+'),
+                     x -> length(x) > 0) AS words
+  FROM base
+),
+feats AS (
+  SELECT doc_id, substr(md5(g), 1, 8) AS feat
+  FROM (
+    SELECT doc_id, unnest(words) AS g FROM tok
+    UNION ALL
+    SELECT doc_id, unnest(list_transform(range(1, len(words)),
+                                         k -> words[k] || ' ' || words[k+1])) AS g
+    FROM tok WHERE len(words) >= 2
+  )
+),
+lab AS (
+  SELECT f.feat, CAST(b.doc_id % 2 = 0 AS INT) AS y
+  FROM feats f JOIN base b USING (doc_id)
+  WHERE b.doc_id % 5 <> 0 AND b.doc_id < 60000000
+),
+counts AS (
+  SELECT feat, CAST(SUM(y) AS BIGINT) AS cg, CAST(SUM(1 - y) AS BIGINT) AS cb
+  FROM lab GROUP BY feat
+),
+tot AS (
+  SELECT CAST(COALESCE(SUM(cg),0) AS BIGINT) AS ng,
+         CAST(COALESCE(SUM(cb),0) AS BIGINT) AS nb,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM counts
+),
+dtot AS (
+  SELECT CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dg,
+         CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS db
+  FROM base WHERE doc_id % 5 <> 0 AND doc_id < 60000000
+),
+model AS (
+  SELECT t.ng, t.nb, t.v,
+         CAST(ROUND(ln(1.0 / (t.ng + t.v)) * 1000000.0, 0) AS BIGINT)
+           - CAST(ROUND(ln(1.0 / (t.nb + t.v)) * 1000000.0, 0) AS BIGINT) AS w0,
+         CAST(ROUND(ln(CAST(d.dg AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+           - CAST(ROUND(ln(CAST(d.db AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS bias
+  FROM tot t CROSS JOIN dtot d
+),
+scored AS (
+  SELECT f.doc_id,
+         CASE WHEN c.feat IS NOT NULL
+              THEN CAST(ROUND(ln((CAST(c.cg AS DOUBLE) + 1.0) / (m.ng + m.v)) * 1000000.0, 0) AS BIGINT)
+                   - CAST(ROUND(ln((CAST(c.cb AS DOUBLE) + 1.0) / (m.nb + m.v)) * 1000000.0, 0) AS BIGINT)
+              ELSE m.w0 END AS w,
+         m.bias
+  FROM feats f
+  LEFT JOIN counts c USING (feat)
+  CROSS JOIN model m
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM(w) + ANY_VALUE(bias) AS BIGINT) AS score_micro,
+       ROUND((CAST(SUM(w) AS DOUBLE) + ANY_VALUE(bias)) / 1000000.0 / COUNT(*), 6) AS avg_w,
+       CAST(SUM(w) + ANY_VALUE(bias) >= 0 AS INT) AS keep
+FROM scored GROUP BY doc_id
+"""
+
+SPARK_QUERIES["quality_classifier"] = q_quality_classifier
+SQL_ORACLES["quality_classifier"] = SQL_QUALITY_CLASSIFIER
