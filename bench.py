@@ -67,6 +67,9 @@ HEADLINE = [
     "c4_clean",
     "decontaminate",
     "corpus_build_clean",
+    # r5 fifth-session additions (model-based quality filters)
+    "lm_perplexity",
+    "quality_classifier",
 ]
 
 

@@ -105,12 +105,17 @@ def lm_score(
         docs.select(F.col(id_col), _seq(F.col(text_col)).alias("_s"))
         .filter(F.size("_s") >= 2)
         .select(id_col, F.explode(word_ngrams(F.col("_s"), 2)).alias("g"))
-        .withColumn("v", F.substring_index("g", " ", 1))
         .withColumn("w", F.substring_index("g", " ", -1))
     )
+    # cv is consumed ONLY where cvw exists (unseen bigrams take the
+    # otherwise(0.0) branch), so the ctx join happens on the MODEL side —
+    # (g, cvw, cv) is one trained table and the corpus positions shuffle
+    # twice (g, w), not three times (g, v, w)
+    bigcv = lm["big"].withColumn("v", F.substring_index("g", " ", 1)).join(
+        lm["ctx"], "v"
+    ).select("g", "cvw", "cv")
     j = (
-        pos.join(lm["big"], "g", "left")
-        .join(lm["ctx"], "v", "left")
+        pos.join(bigcv, "g", "left")
         .join(lm["uni"], "w", "left")
         .join(F.broadcast(lm["totals"].withColumnRenamed("n_tokens", "_N")), how="cross")
     )
