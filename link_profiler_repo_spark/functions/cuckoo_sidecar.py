@@ -249,8 +249,10 @@ def update(
     """Apply one epoch of inserts/deletes. Updates repartition by outer
     bucket; each task loads ONLY its buckets' current rows, folds the keys in
     numpy, and writes the new rows. Untouched buckets are carried over by
-    directory move, then the whole layout swaps in atomically (os.replace),
-    the same crash discipline as bloom_sidecar.compact / StateStore."""
+    directory COPY into the staging layout (a move would gut the live layout
+    before the swap commits), then the whole layout swaps in atomically
+    (os.replace), the same crash discipline as bloom_sidecar.compact /
+    StateStore."""
     nb = slots_per_bucket // 4
     assert nb & (nb - 1) == 0, "slots_per_bucket/4 must be a power of two"
     parts = []

@@ -3652,37 +3652,110 @@ def q_warc_roundtrip(spark, sf_dir):
     twin_df = spark.createDataFrame(
         [
             (
-                t["warc_file"], t["record_seq"], t["warc_type"], t["record_id"],
-                t["target_uri"], t["warc_date"], t["content_type"],
+                t["warc_file"], t["record_seq"], t["rec_offset"], t["warc_type"],
+                t["record_id"], t["target_uri"], t["warc_date"], t["content_type"],
                 len(t["payload"]), hashlib.md5(t["payload"]).hexdigest(),
+                t["payload"].decode("utf-8"),
             )
             for t in twin
         ],
         schema=(
-            "warc_file string, record_seq int, warc_type string,"
+            "warc_file string, record_seq int, rec_offset long, warc_type string,"
             " record_id string, target_uri string, warc_date string,"
-            " content_type string, byte_len long, payload_md5 string"
+            " content_type string, byte_len long, payload_md5 string,"
+            " payload_utf8 string"
         ),
     )
     twin_df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(_GATE_WARC_DIR, "twin")
     )
     return read_warc(spark, arch).select(
-        "warc_file", "record_seq", "warc_type", "record_id", "target_uri",
-        "warc_date", "content_type",
+        "warc_file", "record_seq", "rec_offset", "warc_type", "record_id",
+        "target_uri", "warc_date", "content_type",
         F.length("payload").cast("long").alias("byte_len"),
         F.md5("payload").alias("payload_md5"),
     )
 
 
 SQL_WARC_ROUNDTRIP = f"""
-SELECT warc_file, record_seq, warc_type, record_id, target_uri, warc_date,
-       content_type, byte_len, payload_md5
+SELECT warc_file, record_seq, rec_offset, warc_type, record_id, target_uri,
+       warc_date, content_type, byte_len, payload_md5
 FROM read_parquet('{_GATE_WARC_DIR}/twin/*.parquet')
 """
 
 SPARK_QUERIES["warc_roundtrip"] = q_warc_roundtrip
 SQL_ORACLES["warc_roundtrip"] = SQL_WARC_ROUNDTRIP
+
+
+def q_warc_cdx_index(spark, sf_dir):
+    """CDX index built FROM the archive (sources/warc.py cdx_from_warc —
+    the indexing pass Common Crawl runs over every crawl; its output feeds
+    cdx.write_cdx_sharded / read_cdx_pruned directly). The engine derives
+    urlkey/timestamp/mime/status/digest/length/offset from the parsed
+    records in pure Catalyst; DuckDB re-derives ALL of them — including the
+    SURT key construction and the HTTP header parsing — from the twin
+    parser's exported payload bytes (q_warc_roundtrip runs first in the
+    gate, so the twin parquet for the same fixture already exists; this
+    query still re-exports to stay self-contained)."""
+    import hashlib
+
+    from .sources.warc import (
+        cdx_from_warc,
+        oracle_warc_parse,
+        read_warc,
+        save_warc,
+        synth_warc_records,
+    )
+
+    arch = os.path.join(_GATE_WARC_DIR, "cdx_archive")
+    recs = synth_warc_records(spark, 35).repartition(3, "record_id")
+    manifest = save_warc(recs, arch, gzip_members=True).collect()
+    twin = oracle_warc_parse([r["path"] for r in manifest])
+    spark.createDataFrame(
+        [
+            (
+                t["warc_file"], t["rec_offset"], t["warc_type"], t["target_uri"],
+                t["warc_date"], len(t["payload"]), t["payload"].decode("utf-8"),
+            )
+            for t in twin
+        ],
+        schema=(
+            "warc_file string, rec_offset long, warc_type string,"
+            " target_uri string, warc_date string, byte_len long,"
+            " payload_utf8 string"
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_GATE_WARC_DIR, "cdx_twin")
+    )
+    return cdx_from_warc(read_warc(spark, arch))
+
+
+SQL_WARC_CDX_INDEX = f"""
+WITH t AS (
+  SELECT *, string_split(payload_utf8, chr(13)||chr(10)||chr(13)||chr(10))[1] AS head,
+         lower(regexp_extract(target_uri,
+               '^[a-zA-Z][a-zA-Z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
+         regexp_extract(target_uri,
+               '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*(/[^?#]*)', 1) AS rawpath
+  FROM read_parquet('{_GATE_WARC_DIR}/cdx_twin/*.parquet')
+  WHERE warc_type = 'response'
+)
+SELECT array_to_string(list_reverse(string_split(host, '.')), ',') || ')' ||
+         lower(CASE WHEN rawpath = '' THEN '/' ELSE rawpath END) AS urlkey,
+       rpad(substr(regexp_replace(warc_date, '[^0-9]', '', 'g'), 1, 14), 14, '0')
+         AS timestamp,
+       target_uri AS url,
+       regexp_extract(head, '(?i)content-type:\\s*([^;\\r\\n]+)', 1) AS mime,
+       regexp_extract(head, '^HTTP/[0-9.]+\\s+([0-9]{{3}})', 1) AS status,
+       sha256(payload_utf8) AS digest,
+       CAST(byte_len AS VARCHAR) AS length,
+       CAST(rec_offset AS VARCHAR) AS offset,
+       warc_file AS filename
+FROM t
+"""
+
+SPARK_QUERIES["warc_cdx_index"] = q_warc_cdx_index
+SQL_ORACLES["warc_cdx_index"] = SQL_WARC_CDX_INDEX
 
 
 # -- Hashed-NB quality classifier (operators/classifier.py — the fastText/

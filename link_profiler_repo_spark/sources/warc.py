@@ -55,6 +55,12 @@ WARC_RECORD = T.StructType(
     [
         T.StructField("warc_file", T.StringType()),
         T.StructField("record_seq", T.IntegerType()),  # index within file
+        # record start offset in the DECOMPRESSED stream. Common Crawl's own
+        # cdx records compressed offsets (each record is its own gzip member,
+        # so member index == record_seq and random access re-syncs on the
+        # member magic); the decompressed offset is the deterministic analog
+        # both parsers can state without tracking compression framing.
+        T.StructField("rec_offset", T.LongType()),
         T.StructField("warc_type", T.StringType()),
         T.StructField("record_id", T.StringType()),
         T.StructField("target_uri", T.StringType()),
@@ -183,6 +189,7 @@ def _parse_warc_bytes(name: str, data: bytes) -> list[tuple]:
             (
                 name,
                 seq,
+                pos,
                 headers.get("warc-type"),
                 headers.get("warc-record-id"),
                 headers.get("warc-target-uri"),
@@ -253,6 +260,41 @@ def response_docs(records: DataFrame) -> DataFrame:
     return rendered_to_docs(html.select("url", body.alias("content")))
 
 
+def cdx_from_warc(records: DataFrame) -> DataFrame:
+    """Build the CDX index (sources/cdx.py CDX_SCHEMA) FROM parsed archive
+    records — the indexing step Common Crawl itself runs over every crawl,
+    closing the loop archive -> index -> pruned query (cdx.write_cdx_sharded
+    / read_cdx_pruned consume this output directly). Response records only
+    (CC's index covers fetches, not WET derivatives). Pure Catalyst:
+
+      urlkey    SURT key (the cdx.py convention, same expression)
+      timestamp ISO WARC-Date -> YYYYMMDDHHMMSS digit squeeze
+      mime      Content-Type of the HTTP payload (headers before CRLF CRLF)
+      status    HTTP status line code
+      digest    sha256 hex of the full record payload (CC uses sha1-base32;
+                sha256 keeps the engine's one-hash-family convention)
+      length    payload byte length; offset/filename from the parse — with
+                per-record gzip members, member index == record_seq, which
+                is what random access re-syncs on (see WARC_RECORD note)
+    """
+    from .cdx import surt_key
+
+    head = F.substring_index(F.decode(F.col("payload"), "UTF-8"), "\r\n\r\n", 1)
+    return records.filter(F.col("warc_type") == "response").select(
+        surt_key(F.col("target_uri")).alias("urlkey"),
+        F.rpad(
+            F.substring(F.regexp_replace("warc_date", r"[^0-9]", ""), 1, 14), 14, "0"
+        ).alias("timestamp"),
+        F.col("target_uri").alias("url"),
+        F.regexp_extract(head, r"(?i)content-type:\s*([^;\r\n]+)", 1).alias("mime"),
+        F.regexp_extract(head, r"^HTTP/[0-9.]+\s+(\d{3})", 1).alias("status"),
+        F.sha2(F.col("payload"), 256).alias("digest"),
+        F.length("payload").cast("string").alias("length"),
+        F.col("rec_offset").cast("string").alias("offset"),
+        F.col("warc_file").alias("filename"),
+    )
+
+
 # -- independent twin parser (oracle only) ------------------------------------
 
 
@@ -272,6 +314,7 @@ def oracle_warc_parse(paths: list[str]) -> list[dict]:
         buf = io.BytesIO(raw)
         seq = 0
         while True:
+            start = buf.tell()
             line = buf.readline()
             if not line:
                 break
@@ -291,6 +334,7 @@ def oracle_warc_parse(paths: list[str]) -> list[dict]:
                 {
                     "warc_file": os.path.basename(p),
                     "record_seq": seq,
+                    "rec_offset": start,
                     "warc_type": msg["WARC-Type"],
                     "record_id": msg["WARC-Record-ID"],
                     "target_uri": msg["WARC-Target-URI"],

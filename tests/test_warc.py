@@ -31,7 +31,7 @@ def _write(spark, tmp_path, gzip_members, n_docs=30, parts=3):
 def test_roundtrip_matches_twin_parser(spark, tmp_path, gzip_members):
     out, manifest = _write(spark, tmp_path, gzip_members)
     got = read_warc(spark, out)
-    cols = ["warc_file", "record_seq", "warc_type", "record_id",
+    cols = ["warc_file", "record_seq", "rec_offset", "warc_type", "record_id",
             "target_uri", "warc_date", "content_type"]
     engine = sorted(
         (tuple(r[c] for c in cols), bytes(r["payload"]))
@@ -91,6 +91,26 @@ def test_response_docs_spans(spark, tmp_path):
     spans1 = rows["http://h001.test/p/00001"]
     assert [s for s in spans1 if s["kind"] == "media"] == []
     assert "document number 1." in "".join(s["text"] or "" for s in spans1)
+
+
+def test_cdx_from_warc(spark, tmp_path):
+    from link_profiler_repo_spark.sources.warc import cdx_from_warc
+
+    out, _ = _write(spark, tmp_path, True, n_docs=6)
+    idx = cdx_from_warc(read_warc(spark, out))
+    rows = {r["url"]: r for r in idx.collect()}
+    # responses only (6 of 12 records), one per fixture URL
+    assert len(rows) == 6
+    r = rows["http://h002.test/p/00002"]
+    assert r["urlkey"] == "test,h002)/p/00002"
+    assert r["timestamp"] == "20240101000200"
+    assert r["mime"] == "text/html" and r["status"] == "200"
+    assert len(r["digest"]) == 64 and int(r["offset"]) >= 0
+    assert r["filename"].endswith(".warc.gz")
+    # the index output feeds the sharded CDX layout directly
+    from link_profiler_repo_spark.sources.cdx import write_cdx_sharded
+
+    write_cdx_sharded(idx, str(tmp_path / "cdx"), n_shards=2)
 
 
 def test_truncated_record_raises(spark, tmp_path):
