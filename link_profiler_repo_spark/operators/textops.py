@@ -408,3 +408,72 @@ def c4_clean(
         keep.cast("int").alias("c4_keep"),
         clean.alias("clean_text"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-corpus paragraph deduplication — the CCNet boilerplate-removal
+    stage (Wenzek et al. LREC 2020 §3.1: documents are split into
+    paragraphs, each normalized and hashed, and duplicated paragraphs are
+    removed corpus-wide — killing cookie banners / nav bars that per-DOC
+    dedup can never see). Deterministic keep rule: the globally FIRST
+    occurrence (min (doc_id, pos)) of each normalized paragraph survives;
+    every other copy — including later copies inside the same document —
+    drops. Paragraphs that normalize to '' (blank / punctuation-only lines)
+    are structure, not content: always kept, never joined.
+
+    Normalization = CCNet's: lowercase, strip everything but letters (their
+    sha1 is over exactly this; we key on the normalized string itself, so
+    the oracle needs no hash at all).
+
+    Output: (doc_id, n_paras, n_dropped, clean_text) — one row per input
+    document, clean_text = surviving paragraphs rejoined in original order
+    ('' when everything dropped).
+
+    Scale shape at 100 TB: the paragraph table shuffles twice on the
+    normalized key (one groupBy min+count, one join back) and once on
+    doc_id (the rebuild) — never a global sort, never a window over the
+    corpus; winners are a keyed aggregate so the hot key (the empty-ish
+    boilerplate paragraph that appears on every page) is one combiner-
+    reduced row, not a skewed join (the join fans that row back OUT, which
+    AQE handles as the classic skew-broadcast case)."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "para"
+        ),
+    )
+    keyed = paras.withColumn(
+        "k", F.regexp_replace(F.lower(F.col("para")), r"[^a-z]+", "")
+    )
+    content = keyed.filter(F.col("k") != "")
+    winners = content.groupBy("k").agg(
+        F.min(F.struct(id_col, "pos")).alias("w")
+    )
+    tagged = content.join(winners, "k").withColumn(
+        "_keep",
+        (F.col(f"w.{id_col}") == F.col(id_col)) & (F.col("w.pos") == F.col("pos")),
+    )
+    kept = tagged.filter(F.col("_keep")).select(id_col, "pos", "para").unionByName(
+        keyed.filter(F.col("k") == "").select(id_col, "pos", "para")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count("*").cast("long").alias("n_paras"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_paras",
+        (F.col("n_paras") - F.coalesce("_n_kept", F.lit(0))).cast("long").alias(
+            "n_dropped"
+        ),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -3855,3 +3855,82 @@ FROM scored GROUP BY doc_id
 
 SPARK_QUERIES["quality_classifier"] = q_quality_classifier
 SQL_ORACLES["quality_classifier"] = SQL_QUALITY_CLASSIFIER
+
+
+# -- Cross-corpus paragraph dedup (textops.paragraph_dedup — the CCNet
+# boilerplate-removal stage, Wenzek et al. LREC 2020 §3.1). Fixture grafts
+# 25 multi-line docs sharing boilerplate lines (cookie banner + nav bar in
+# every doc, a within-doc repeated paragraph on evens, a blank structural
+# line) onto documents. DuckDB re-derives normalization and the keep rule
+# with a DIFFERENT algorithm (ROW_NUMBER window vs min-struct aggregate). --
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    from .operators.textops import paragraph_dedup
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("id")
+    s = i.cast("string")
+    grafts = spark.range(25).select(
+        (i + 70_000_000).alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.lit("Shared cookie banner: accept all cookies now."),
+            F.concat(F.lit("Unique sentence for doc "), s, F.lit(" with content.")),
+            F.lit(""),
+            F.lit("NAV: Home | About | Contact"),
+            F.when(
+                i % 2 == 0,
+                F.concat(F.lit("Unique sentence for doc "), s, F.lit(" with content.")),
+            ).otherwise(F.concat(F.lit("Tail thought number "), s, F.lit("."))),
+        ).alias("text"),
+    )
+    return paragraph_dedup(d.unionByName(grafts))
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  UNION ALL
+  SELECT i + 70000000,
+         concat_ws(chr(10),
+           'Shared cookie banner: accept all cookies now.',
+           'Unique sentence for doc ' || i || ' with content.',
+           '',
+           'NAV: Home | About | Contact',
+           CASE WHEN i % 2 = 0
+                THEN 'Unique sentence for doc ' || i || ' with content.'
+                ELSE 'Tail thought number ' || i || '.' END)
+  FROM range(0, 25) t(i)
+),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM base),
+paras AS (
+  SELECT doc_id, u.i - 1 AS pos, ls[u.i] AS para,
+         regexp_replace(lower(ls[u.i]), '[^a-z]+', '', 'g') AS k
+  FROM l, unnest(range(1, len(ls) + 1)) AS u(i)
+),
+content AS (SELECT * FROM paras WHERE k <> ''),
+ranked AS (
+  SELECT doc_id, pos, para,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+  FROM content
+),
+kept AS (
+  SELECT doc_id, pos, para FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, pos, para FROM paras WHERE k = ''
+),
+rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(para, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras FROM paras GROUP BY doc_id)
+SELECT t.doc_id, t.n_paras,
+       CAST(t.n_paras - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+       coalesce(r.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+SPARK_QUERIES["paragraph_dedup"] = q_paragraph_dedup
+SQL_ORACLES["paragraph_dedup"] = SQL_PARAGRAPH_DEDUP
