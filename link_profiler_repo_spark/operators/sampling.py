@@ -205,3 +205,58 @@ def token_budget_pack(
         .withColumn("keep", F.col("cum_tokens") <= F.lit(int(budget)))
         .drop("_key", "_bkt", "_cum_in", "_off")
     )
+
+
+def shard_corpus(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    n_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Equal-token OUTPUT SHARDING — the write stage after packing: assign
+    every doc a shard in [0, n_shards) so shards carry ~equal token mass
+    (±1 doc), deterministically (re-runs produce identical shards; training
+    jobs that stream shard k always see the same bytes). Docs order by the
+    same md5 key the sampler uses; shard = exclusive-prefix-tokens DIV
+    ceil(total/n_shards) — a contiguous token-range cut, so a shard is a
+    key range and adding docs only perturbs shards after their key.
+
+    Same two-level prefix sum as token_budget_pack (16 hex buckets +
+    broadcast offsets), ONE stratum = the whole corpus — no global sort,
+    no single-partition window. total is one scalar agg, broadcast back.
+    Returns df + (cum_tokens inclusive BIGINT, shard INT); write with
+    `.write.partitionBy("shard")` for one directory per shard."""
+    key = hash_key(F.col(id_col), salt)
+    d = df.withColumn("_key", key).withColumn("_bkt", F.substring("_key", 1, 1))
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy("_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_cum_in", F.sum(tokens_col).over(w_in))
+    sub = d.groupBy("_bkt").agg(F.sum(tokens_col).alias("_btot"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = sub.withColumn(
+        "_off", F.coalesce(F.sum("_btot").over(w_off), F.lit(0))
+    ).select("_bkt", "_off")
+    total = df.agg(
+        F.coalesce(F.sum(tokens_col), F.lit(0)).cast("long").alias("_total")
+    )
+    # integer DIV end to end: double division near an exact shard boundary
+    # could round x.999... up in one engine's floor and not the other's
+    shard_size = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"(_total + {n_shards - 1}) DIV {n_shards}"),
+    )
+    return (
+        d.join(F.broadcast(off), "_bkt")
+        .join(F.broadcast(total), how="cross")
+        .withColumn("cum_tokens", (F.col("_off") + F.col("_cum_in")).cast("bigint"))
+        .withColumn("_ssize", shard_size)
+        .withColumn(
+            "shard",
+            F.expr(f"CAST((cum_tokens - {tokens_col}) DIV _ssize AS INT)"),
+        )
+        .drop("_key", "_bkt", "_cum_in", "_off", "_total", "_ssize")
+    )

@@ -3934,3 +3934,49 @@ FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 
 SPARK_QUERIES["paragraph_dedup"] = q_paragraph_dedup
 SQL_ORACLES["paragraph_dedup"] = SQL_PARAGRAPH_DEDUP
+
+
+# -- Equal-token output sharding (sampling.shard_corpus — the write stage
+# after packing; same two-level prefix sum, one stratum = the corpus).
+# DuckDB runs the NAIVE single-window cumsum (different algorithm, same
+# fixpoint) and the identical integer DIV shard arithmetic. ----------------
+
+
+def q_corpus_shards(spark, sf_dir):
+    from .operators.sampling import shard_corpus
+    from .operators.textops import token_count
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return shard_corpus(d, "doc_id", "n_tokens", 8, salt="shard").select(
+        "doc_id", "n_tokens", "cum_tokens", "shard"
+    )
+
+
+SQL_CORPUS_SHARDS = """
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(list_filter(
+           string_split_regex(
+             lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')), '\\s+'
+           ), x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+         substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8) AS k
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           ORDER BY k, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM w
+),
+t AS (SELECT GREATEST(1, (SUM(n_tokens) + 7) // 8) AS ssize FROM w)
+SELECT doc_id, n_tokens, cum_tokens,
+       CAST((cum_tokens - n_tokens) // t.ssize AS INT) AS shard
+FROM c CROSS JOIN t
+"""
+
+SPARK_QUERIES["corpus_shards"] = q_corpus_shards
+SQL_ORACLES["corpus_shards"] = SQL_CORPUS_SHARDS
