@@ -67,6 +67,9 @@ def main() -> None:
                          "docs sharing any --decontam-n word-gram are dropped")
     ap.add_argument("--decontam-n", type=int, default=8,
                     help="corpus_build decontamination n-gram size")
+    ap.add_argument("--n-shards", type=int, default=0,
+                    help="corpus_build: with --out, write the kept corpus as "
+                         "N equal-token shard directories (shard=K/)")
     ap.add_argument("--out", default=None, help="report output path")
     args = ap.parse_args()
 
@@ -241,7 +244,19 @@ def main() -> None:
                      redact_pii=args.redact_pii, bench=bench,
                      decontam_n=args.decontam_n).persist()
         if args.out:
-            df.write.mode("overwrite").parquet(args.out)
+            if args.n_shards > 0:
+                from link_profiler_repo_spark.operators.sampling import shard_corpus
+
+                # packing's per-stratum cum_tokens is spent; sharding derives
+                # its own global prefix (salt keeps the two orders independent)
+                sharded = shard_corpus(
+                    df.drop("cum_tokens"), "doc_id", "n_tokens",
+                    args.n_shards, salt="out",
+                )
+                sharded.write.mode("overwrite").partitionBy("shard").parquet(args.out)
+                out["n_shards"] = args.n_shards
+            else:
+                df.write.mode("overwrite").parquet(args.out)
             out["corpus_path"] = args.out
         out["kept_docs"] = df.count()
         # doc_id tiebreak: kept zero-token docs tie on (lang, cum_tokens)
