@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns with
 typed metadata, processed by Arrow-batched UDFs over mapInPandas.
 
-The DECODE step is stubbed (no image/audio libraries in this container —
-deterministic fake features behind decode_stub / NotImplementedError for real
-codecs), but the Spark-side machinery is real and tested: schema, batch
-iteration, partition sizing, and the UDF signatures match what a libvips/
-ffmpeg-backed implementation would use.
+DECODE tiers: PNG decodes FOR REAL (functions/png.py — pure stdlib zlib +
+numpy, all five scanline filters; the synthetic corpus's png payloads are
+genuine encoded PNGs whose pixels round-trip exactly). JPEG/GIF stay
+stubbed (an actual DCT/LZW codec needs an image library this container
+lacks — deterministic fake features behind decode_stub), with the
+Spark-side machinery identical across tiers: schema, batch iteration,
+partition sizing, and the UDF signatures match a libvips/ffmpeg-backed
+build.
 
 Reference analog: media spans / images_found (core/models.py:390,
 crawlers/content_parser.py:62-67) — extended to the training-data use case.
@@ -45,29 +48,56 @@ MAGIC = {
 }
 
 
+PNG_W = PNG_H = 8  # synthetic png pixel dimensions
+
+
+def synth_pixels(ref: str) -> np.ndarray:
+    """Deterministic (PNG_H, PNG_W, 3) uint8 pixels from a media ref:
+    counter-mode sha256 stream — the ground truth the real-decode tests
+    compare against."""
+    need = PNG_H * PNG_W * 3
+    blocks = []
+    i = 0
+    while sum(len(b) for b in blocks) < need:
+        blocks.append(hashlib.sha256(f"{ref}|{i}".encode()).digest())
+        i += 1
+    return np.frombuffer(b"".join(blocks)[:need], dtype=np.uint8).reshape(
+        PNG_H, PNG_W, 3
+    )
+
+
 def media_table_from_docs(docs: DataFrame) -> DataFrame:
     """Explode media spans into a media table with a deterministic synthetic
-    payload — a real container magic header (format picked by crc32(ref) % 3)
-    followed by sha256-of-ref bytes standing in for encoded image data."""
+    payload. Format picked by crc32(ref) % 3: png rows carry a GENUINE
+    encoded PNG (functions/png.py) of synth_pixels(ref) — built in an
+    Arrow-batched UDF, the real shape of an ingest that materializes
+    encoded bytes; jpeg/gif rows carry the container magic + sha256-of-ref
+    bytes standing in for encoded data (their codecs are the stub tier)."""
+    from ..functions.png import encode_png
+
     refs = docs.select(
         F.col("doc_id"),
         F.explode(
             F.filter("spans", lambda s: s["kind"] == F.lit("media"))
         ).alias("s"),
     ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
+
+    @F.pandas_udf(T.BinaryType())
+    def png_payload(ref: pd.Series) -> pd.Series:
+        return ref.map(lambda r: encode_png(synth_pixels(r)))
+
     fmt = F.crc32(F.col("media_ref")) % 3
-    magic = (
-        F.when(fmt == 0, F.lit(MAGIC["png"]))
-        .when(fmt == 1, F.lit(MAGIC["jpeg"]))
-        .otherwise(F.lit(MAGIC["gif"]))
+    magic = F.when(fmt == 1, F.lit(MAGIC["jpeg"])).otherwise(F.lit(MAGIC["gif"]))
+    payload = F.when(fmt == 0, png_payload(F.col("media_ref"))).otherwise(
+        F.concat(magic, F.sha2(F.col("media_ref"), 256).cast("binary"))
     )
     return refs.select(
         "doc_id",
         "media_ref",
         F.lit("image").alias("media_type"),
-        F.concat(magic, F.sha2(F.col("media_ref"), 256).cast("binary")).alias("payload"),
-        F.lit(64).alias("width"),
-        F.lit(64).alias("height"),
+        payload.alias("payload"),
+        F.when(fmt == 0, F.lit(PNG_W)).otherwise(F.lit(64)).alias("width"),
+        F.when(fmt == 0, F.lit(PNG_H)).otherwise(F.lit(64)).alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
     )
 
@@ -115,6 +145,20 @@ def decode_stub(payload: bytes) -> np.ndarray:
     return np.frombuffer((h * ((FEATURE_DIM // len(h)) + 1))[:FEATURE_DIM], dtype=np.uint8)
 
 
+def decode_payload(payload: bytes) -> np.ndarray:
+    """Tiered decode: PNG bytes -> REAL pixels (functions/png.py); anything
+    else -> the documented stub tier. Always returns a FEATURE_DIM uint8
+    feature vector (real pixels flatten and tile/truncate to the fixed dim,
+    the plumbing contract downstream schemas rely on)."""
+    if payload is not None and bytes(payload[:8]) == MAGIC["png"]:
+        from ..functions.png import decode_png
+
+        px = decode_png(bytes(payload)).reshape(-1)
+        reps = (FEATURE_DIM + len(px) - 1) // len(px)
+        return np.tile(px, reps)[:FEATURE_DIM]
+    return decode_stub(payload)
+
+
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """mapInPandas feature extraction: the canonical multimodal operator shape.
     Batches stream through the worker (never materializing a partition),
@@ -129,7 +173,7 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     def run(batches):
         for pdf in batches:
             feats = [
-                (decode_stub(p).astype(np.float32) / 255.0).tolist()
+                (decode_payload(p).astype(np.float32) / 255.0).tolist()
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame({"media_ref": pdf["media_ref"], "features": feats})
