@@ -187,6 +187,34 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.withColumn("width", F.lit(width)).withColumn("height", F.lit(height))
 
 
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Tiered resize: png payloads decode -> nearest-neighbor resample ->
+    re-encode FOR REAL (pure numpy index arithmetic, exact and
+    deterministic); other formats pass through with the metadata rewrite
+    (the stub tier). Same schema/partitioning either way."""
+    from ..functions.png import decode_png, encode_png
+
+    @F.pandas_udf(T.BinaryType())
+    def _resize(payload: pd.Series) -> pd.Series:
+        def one(p):
+            if p is None or bytes(p[:8]) != MAGIC["png"]:
+                return p
+            px = decode_png(bytes(p))
+            h0, w0 = px.shape[:2]
+            rows = (np.arange(height) * h0) // height
+            cols = (np.arange(width) * w0) // width
+            return encode_png(px[rows][:, cols])
+
+        return payload.map(one)
+
+    return media.select(
+        "doc_id", "media_ref", "media_type",
+        _resize(F.col("payload")).alias("payload"),
+        F.lit(width).alias("width"), F.lit(height).alias("height"),
+        "duration_ms",
+    )
+
+
 def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling shape: one row per sampled frame (posexplode over
     a computed frame index sequence); decode stubbed."""

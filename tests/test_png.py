@@ -67,3 +67,28 @@ def test_media_png_tier_decodes_real_pixels(spark):
     assert np.allclose(got, expect)
     truth = synth_pixels(r["media_ref"]).reshape(-1)[:FEATURE_DIM] / 255.0
     assert np.allclose(got, truth.astype(np.float32))
+
+
+def test_resize_media_real_png_tier(spark):
+    from link_profiler_repo_spark.operators.media import (
+        media_table_from_docs,
+        resize_media,
+        synth_pixels,
+    )
+    from link_profiler_repo_spark.synth import SynthParams, synth_docs_spark
+
+    docs = synth_docs_spark(spark, SynthParams(n_docs=30, n_hosts=3))
+    media = media_table_from_docs(docs)
+    resized = resize_media(media, 4, 6)
+    for r in resized.collect():
+        assert (r["width"], r["height"]) == (4, 6)
+        p = bytes(r["payload"])
+        if p[:8] == b"\x89PNG\r\n\x1a\n":
+            px = decode_png(p)
+            src = synth_pixels(r["media_ref"])
+            rows = (np.arange(6) * src.shape[0]) // 6
+            cols = (np.arange(4) * src.shape[1]) // 4
+            assert np.array_equal(px, src[rows][:, cols])
+            break
+    else:
+        raise AssertionError("no png rows resized")
