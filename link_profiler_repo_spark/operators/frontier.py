@@ -222,3 +222,49 @@ def trap_hosts(
         F.sum(is_trap_t.cast("long")).cast("long").alias("trap_templates"),
         F.max(is_trap_t).cast("int").alias("is_trap"),
     )
+
+
+def prune_trapped(
+    df: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 100,
+    min_share: float = 0.5,
+    cap: int = 10,
+    approx: bool = False,
+) -> DataFrame:
+    """Trap detection FEEDING the frontier: URLs on a flagged (host,
+    template) are capped at `cap` deterministic representatives (smallest
+    md5(url) — crawl a few pages of the calendar widget, not all 600);
+    every URL on an unflagged template passes untouched. Returns df's rows
+    (original columns) minus the pruned ones.
+
+    Scale shape: flagged templates are FEW by construction (each holds >=
+    min_urls URLs, so there are at most |frontier|/min_urls of them) —
+    broadcast join. The rank window partitions on exactly the skewed key
+    trap detection exists to find, which is safe for the same reason the
+    politeness budget is: rank() <= cap is a WindowGroupLimit partial
+    pushdown (each map task keeps cap rows per template before the
+    exchange), so the hot template never collects on one executor."""
+    flagged = url_templates(df, url_col, approx=approx).filter(
+        (F.col("n_urls") >= F.lit(min_urls)) & (F.col("share") >= F.lit(min_share))
+    ).select("host", "template")
+    from ..functions.urls import url_host
+
+    tagged = df.withColumn("_th", url_host(F.col(url_col))).withColumn(
+        "_tt", url_template(F.col(url_col))
+    )
+    joined = tagged.join(
+        F.broadcast(flagged.withColumnRenamed("host", "_th").withColumnRenamed("template", "_tt")),
+        ["_th", "_tt"],
+        "left_semi",
+    )
+    w = Window.partitionBy("_th", "_tt").orderBy(F.md5(F.col(url_col)), url_col)
+    trapped_kept = (
+        joined.withColumn("_r", F.rank().over(w)).filter(F.col("_r") <= cap).drop("_r")
+    )
+    untrapped = tagged.join(
+        F.broadcast(flagged.withColumnRenamed("host", "_th").withColumnRenamed("template", "_tt")),
+        ["_th", "_tt"],
+        "left_anti",
+    )
+    return untrapped.unionByName(trapped_kept).drop("_th", "_tt")

@@ -3617,6 +3617,85 @@ FROM flagged GROUP BY host
 SPARK_QUERIES["url_trap_hosts"] = q_url_trap_hosts
 SQL_ORACLES["url_trap_hosts"] = SQL_URL_TRAP_HOSTS
 
+# the fixture CTE above, shared by the prune row
+_SQL_TRAP_URLS = SQL_URL_TRAP_HOSTS[SQL_URL_TRAP_HOSTS.index("WITH urls AS") : SQL_URL_TRAP_HOSTS.index("),\nparsed AS") + 2]
+
+
+def q_frontier_trap_prune(spark, sf_dir):
+    """Trap detection feeding the frontier (frontier.prune_trapped): URLs on
+    flagged (host, template) keys capped at 10 deterministic
+    representatives (smallest md5), everything else untouched. Same fixture
+    as url_trap_hosts; DuckDB re-derives the flag AND the md5 rank cut."""
+    from .operators.frontier import prune_trapped
+
+    # rebuild the url_trap_hosts fixture (kept inline there for audit
+    # parity with its SQL; duplicated plan construction costs nothing)
+    i = F.col("id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    u = lambda df, col: df.select(col.alias("url"))  # noqa: E731
+    parts = [
+        u(spark.range(600), F.concat(F.lit("https://h0.example.com/cal/2020/"), s(i % 12 + 1), F.lit("/"), s(i + 1))),
+        u(spark.range(2), F.concat(F.lit("https://h0.example.com/"), F.when(i == 0, "about").otherwise("contact"))),
+        u(spark.range(150), F.concat(F.lit("https://h1.example.com/page?sid=s"), s(i), F.lit("x&p="), s(i % 7))),
+        u(spark.range(50), F.concat(F.lit("https://h2.example.com/article-"), s(i))),
+        u(spark.range(6), F.concat(F.lit("https://h2.example.com/"), F.when(i < 5, "about").otherwise("contact"))),
+        u(spark.range(60), F.when(i % 2 == 0, F.concat(F.lit("https://h3.example.com/s?a="), s(i), F.lit("&b=2")))
+                            .otherwise(F.concat(F.lit("https://h3.example.com/s?b=2&a="), s(i)))),
+        u(spark.range(120), F.concat(F.lit("https://h4.example.com/u/deadbeefcafe"), s(i), F.lit("/profile"))),
+        u(spark.range(1), F.lit("https://h5.example.com")),
+        u(spark.range(1), F.lit("https://h5.example.com/?x=1")),
+    ]
+    urls = parts[0]
+    for p in parts[1:]:
+        urls = urls.unionByName(p)
+    return prune_trapped(urls, min_urls=100, min_share=0.5, cap=10)
+
+
+SQL_FRONTIER_TRAP_PRUNE = (
+    _SQL_TRAP_URLS
+    + """
+parsed AS (
+  SELECT url,
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1) AS host,
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM urls
+),
+templ AS (
+  SELECT url, host,
+         host
+         || regexp_replace(regexp_replace(path, '[0-9a-fA-F]{8,}', '{hex}', 'g'), '[0-9]+', '{n}', 'g')
+         || (CASE WHEN q <> ''
+                  THEN '?' || array_to_string(list_sort(string_split(regexp_replace(q, '=[^&]*', '=*', 'g'), '&')), '&')
+                  ELSE '' END) AS template
+  FROM parsed
+),
+t AS (
+  SELECT host, template, CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls
+  FROM templ GROUP BY host, template
+),
+tt AS (
+  SELECT t.host, t.template, t.n_urls,
+         CAST(SUM(t.n_urls) OVER (PARTITION BY t.host) AS BIGINT) AS host_urls
+  FROM t
+),
+flagged AS (
+  SELECT host, template FROM tt
+  WHERE n_urls >= 100 AND ROUND(CAST(n_urls AS DOUBLE) / CAST(host_urls AS DOUBLE), 6) >= 0.5
+),
+ranked AS (
+  SELECT x.url, RANK() OVER (PARTITION BY x.host, x.template ORDER BY md5(x.url), x.url) AS r
+  FROM templ x JOIN flagged f ON x.host = f.host AND x.template = f.template
+)
+SELECT url FROM ranked WHERE r <= 10
+UNION ALL
+SELECT x.url FROM templ x ANTI JOIN flagged f ON x.host = f.host AND x.template = f.template
+"""
+)
+
+SPARK_QUERIES["frontier_trap_prune"] = q_frontier_trap_prune
+SQL_ORACLES["frontier_trap_prune"] = SQL_FRONTIER_TRAP_PRUNE
+
 
 # -- WARC archive source round trip (S-family: the raw Common Crawl tier) ----
 

@@ -104,3 +104,30 @@ def test_plan_is_pure_catalyst(spark):
     df = spark.createDataFrame([("https://a.com/x?y=1",)], "url string")
     plan = trap_hosts(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_prune_trapped_caps_flagged_templates(spark):
+    import hashlib
+
+    from link_profiler_repo_spark.operators.frontier import prune_trapped
+
+    cal = [f"https://trap.test/cal/{i % 12}/{i}" for i in range(150)]
+    statics = [f"https://trap.test/{p}" for p in ("about", "contact")]
+    healthy = [f"https://ok.test/article-{i}" for i in range(50)]
+    urls = cal + statics + healthy
+    df = spark.createDataFrame([(x,) for x in urls], "url string")
+    kept = {r["url"] for r in prune_trapped(df, min_urls=100, cap=7).collect()}
+    # healthy host + statics untouched
+    assert set(statics) <= kept and set(healthy) <= kept
+    # trap template capped at exactly the 7 smallest-md5 urls
+    expect = set(sorted(cal, key=lambda x: (hashlib.md5(x.encode()).hexdigest(), x))[:7])
+    assert kept & set(cal) == expect
+    assert len(kept) == 50 + 2 + 7
+
+
+def test_prune_trapped_noop_without_traps(spark):
+    from link_profiler_repo_spark.operators.frontier import prune_trapped
+
+    urls = [f"https://ok.test/p{i}" for i in range(30)]
+    df = spark.createDataFrame([(x,) for x in urls], "url string")
+    assert {r["url"] for r in prune_trapped(df).collect()} == set(urls)
