@@ -154,3 +154,23 @@ def test_bucketed_docs_fetch_join_exchanges_only_the_wave(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         t.drop()
+
+
+def test_prune_trapped_rank_pushdown(spark):
+    """prune_trapped's rank()<=cap must also plan as a Partial-mode
+    WindowGroupLimit (the trapped branch windows on exactly the skewed
+    template key; only each map task's local top-cap rows may reach the
+    exchange) and the flagged-template join must be a broadcast."""
+    from link_profiler_repo_spark.operators.frontier import prune_trapped
+
+    df = spark.range(500_000).select(
+        F.concat(
+            F.lit("https://t"), (F.col("id") % 3).cast("string"),
+            F.lit(".test/cal/"), F.col("id").cast("string"),
+        ).alias("url")
+    )
+    plan = physical_plan(prune_trapped(df, min_urls=100, cap=5), mode="simple")
+    import re
+
+    assert re.search(r"WindowGroupLimit.*Partial", plan), plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
