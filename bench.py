@@ -67,9 +67,11 @@ HEADLINE = [
     "c4_clean",
     "decontaminate",
     "corpus_build_clean",
-    # r5 fifth-session additions (model-based quality filters)
+    # r5 fifth-session additions (model-based quality filters + CCNet
+    # paragraph dedup)
     "lm_perplexity",
     "quality_classifier",
+    "paragraph_dedup",
 ]
 
 
