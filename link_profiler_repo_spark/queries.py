@@ -4059,3 +4059,119 @@ FROM c CROSS JOIN t
 
 SPARK_QUERIES["corpus_shards"] = q_corpus_shards
 SQL_ORACLES["corpus_shards"] = SQL_CORPUS_SHARDS
+
+
+# -- DSIR importance resampling (operators/dsir.py — Xie et al. NeurIPS
+# 2023: hashed n-gram importance weights + Gumbel-top-k selection). DuckDB
+# re-derives EVERYTHING: tokenization, unigram+bigram construction, the
+# md5-prefix bucket hashing mod B (collisions included), add-one-smoothed
+# bucket distributions with micro-nat quantization, per-document integer
+# log-weight sums, the deterministic md5-seeded Gumbel draw, and the
+# top-k cut with its doc_id tie-break. ---------------------------------------
+
+
+def q_dsir_select(spark, sf_dir):
+    from .operators.dsir import dsir_select
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("id")
+    grafts = spark.range(1).select(
+        (i + 70_000_000).alias("doc_id"),
+        F.lit("quantum flux harmonics quantum flux").alias("text"),
+    ).unionByName(
+        spark.range(1).select((i + 70_000_001).alias("doc_id"), F.lit("").alias("text"))
+    )
+    raw = d.unionByName(grafts)
+    target = d.filter(F.col("doc_id") % 11 == 0).select("text").unionByName(
+        spark.range(1).select(F.lit("quantum flux harmonics resonance").alias("text"))
+    )
+    return dsir_select(raw, target, k=120, buckets=10000, salt="dsir")
+
+
+SQL_DSIR_SELECT = """
+WITH raw AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT 70000000, 'quantum flux harmonics quantum flux'
+  UNION ALL SELECT 70000001, ''
+),
+tgt AS (
+  SELECT text FROM documents WHERE doc_id % 11 = 0
+  UNION ALL SELECT 'quantum flux harmonics resonance'
+),
+rtok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')), '\\s+'),
+                     x -> length(x) > 0) AS words
+  FROM raw
+),
+ttok AS (
+  SELECT list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')), '\\s+'),
+                     x -> length(x) > 0) AS words
+  FROM tgt
+),
+rbuck AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM (
+    SELECT doc_id, unnest(words) AS g FROM rtok
+    UNION ALL
+    SELECT doc_id, unnest(list_transform(range(1, len(words)),
+                                         k -> words[k] || ' ' || words[k+1])) AS g
+    FROM rtok WHERE len(words) >= 2
+  )
+),
+tbuck AS (
+  SELECT CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM (
+    SELECT unnest(words) AS g FROM ttok
+    UNION ALL
+    SELECT unnest(list_transform(range(1, len(words)),
+                                 k -> words[k] || ' ' || words[k+1])) AS g
+    FROM ttok WHERE len(words) >= 2
+  )
+),
+cp AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cp FROM tbuck GROUP BY bucket),
+cq AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cq FROM rbuck GROUP BY bucket),
+j AS (
+  SELECT bucket, COALESCE(cp, 0) AS cp, COALESCE(cq, 0) AS cq
+  FROM cp FULL JOIN cq USING (bucket)
+),
+tot AS (
+  SELECT CAST(COALESCE(SUM(cp), 0) AS BIGINT) AS np,
+         CAST(COALESCE(SUM(cq), 0) AS BIGINT) AS nq
+  FROM j
+),
+wt AS (
+  SELECT bucket,
+         CAST(ROUND(ln((CAST(cp AS DOUBLE) + 1.0) / (t.np + 10000)) * 1000000.0, 0) AS BIGINT)
+           - CAST(ROUND(ln((CAST(cq AS DOUBLE) + 1.0) / (t.nq + 10000)) * 1000000.0, 0) AS BIGINT)
+           AS w_micro
+  FROM j CROSS JOIN tot t
+),
+sc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(w_micro) AS BIGINT) AS logw_micro
+  FROM rbuck JOIN wt USING (bucket)
+  GROUP BY doc_id
+),
+gum AS (
+  SELECT doc_id, n_grams, logw_micro,
+         GREATEST(
+           CAST(ROUND(-ln(
+             (CAST(CAST(concat('0x', substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE) + 0.5)
+             / 4503599627370496.0
+           ) * 1000000.0, 0) AS BIGINT),
+           CAST(1 AS BIGINT)
+         ) AS t_micro
+  FROM sc
+)
+SELECT doc_id, n_grams, logw_micro,
+       CAST(ROUND(-ln(t_micro / 1000000.0) * 1000000.0, 0) AS BIGINT) AS gumbel_micro,
+       logw_micro + CAST(ROUND(-ln(t_micro / 1000000.0) * 1000000.0, 0) AS BIGINT) AS key_micro
+FROM gum
+ORDER BY key_micro DESC, doc_id
+LIMIT 120
+"""
+
+SPARK_QUERIES["dsir_select"] = q_dsir_select
+SQL_ORACLES["dsir_select"] = SQL_DSIR_SELECT
