@@ -11,9 +11,9 @@ export their intermediate tables to parquet inside the query so DuckDB
 re-derives the relational tail from the same bytes; the crawl-ordering rows
 export the Python reference simulator's order table the same way. The single
 rows-only entry is media_features (decode features are not SQL-expressible;
-the PNG tier decodes for real — pure zlib+numpy codec, pixel-exact pytest
-oracle — while jpeg/gif decode stays stubbed, and the non-decode half is
-the SQL-oracled media_meta row).
+the PNG and GIF tiers decode for real — pure zlib+numpy and LZW+palette
+codecs, pixel-exact pytest oracles — while JPEG decode stays stubbed, and
+the non-decode half is the SQL-oracled media_meta row).
 """
 
 from __future__ import annotations

@@ -1,14 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns with
 typed metadata, processed by Arrow-batched UDFs over mapInPandas.
 
-DECODE tiers: PNG decodes FOR REAL (functions/png.py — pure stdlib zlib +
-numpy, all five scanline filters; the synthetic corpus's png payloads are
-genuine encoded PNGs whose pixels round-trip exactly). JPEG/GIF stay
-stubbed (an actual DCT/LZW codec needs an image library this container
-lacks — deterministic fake features behind decode_stub), with the
-Spark-side machinery identical across tiers: schema, batch iteration,
-partition sizing, and the UDF signatures match a libvips/ffmpeg-backed
-build.
+DECODE tiers: PNG and GIF decode FOR REAL (functions/png.py — pure stdlib
+zlib + numpy, all five scanline filters; functions/gif.py — pure LZW +
+palette math; the synthetic corpus's png AND gif payloads are genuine
+encoded images whose pixels round-trip exactly). JPEG is the one remaining
+stub (an actual DCT codec needs an image library this container lacks —
+deterministic fake features behind decode_stub), with the Spark-side
+machinery identical across tiers: schema, batch iteration, partition
+sizing, and the UDF signatures match a libvips/ffmpeg-backed build.
 
 Reference analog: media spans / images_found (core/models.py:390,
 crawlers/content_parser.py:62-67) — extended to the training-data use case.
@@ -68,11 +68,13 @@ def synth_pixels(ref: str) -> np.ndarray:
 
 def media_table_from_docs(docs: DataFrame) -> DataFrame:
     """Explode media spans into a media table with a deterministic synthetic
-    payload. Format picked by crc32(ref) % 3: png rows carry a GENUINE
-    encoded PNG (functions/png.py) of synth_pixels(ref) — built in an
-    Arrow-batched UDF, the real shape of an ingest that materializes
-    encoded bytes; jpeg/gif rows carry the container magic + sha256-of-ref
-    bytes standing in for encoded data (their codecs are the stub tier)."""
+    payload. Format picked by crc32(ref) % 3: png and gif rows carry a
+    GENUINE encoded image (functions/png.py / functions/gif.py) of
+    synth_pixels(ref) — built in an Arrow-batched UDF, the real shape of an
+    ingest that materializes encoded bytes; jpeg rows carry the container
+    magic + sha256-of-ref bytes standing in for encoded data (the DCT codec
+    is the stub tier)."""
+    from ..functions.gif import encode_gif
     from ..functions.png import encode_png
 
     refs = docs.select(
@@ -86,18 +88,27 @@ def media_table_from_docs(docs: DataFrame) -> DataFrame:
     def png_payload(ref: pd.Series) -> pd.Series:
         return ref.map(lambda r: encode_png(synth_pixels(r)))
 
+    @F.pandas_udf(T.BinaryType())
+    def gif_payload(ref: pd.Series) -> pd.Series:
+        # 8x8 synth pixels have <=64 distinct colors, within GIF's 256
+        return ref.map(lambda r: encode_gif(synth_pixels(r)))
+
     fmt = F.crc32(F.col("media_ref")) % 3
-    magic = F.when(fmt == 1, F.lit(MAGIC["jpeg"])).otherwise(F.lit(MAGIC["gif"]))
-    payload = F.when(fmt == 0, png_payload(F.col("media_ref"))).otherwise(
-        F.concat(magic, F.sha2(F.col("media_ref"), 256).cast("binary"))
+    payload = (
+        F.when(fmt == 0, png_payload(F.col("media_ref")))
+        .when(fmt == 2, gif_payload(F.col("media_ref")))
+        .otherwise(
+            F.concat(F.lit(MAGIC["jpeg"]), F.sha2(F.col("media_ref"), 256).cast("binary"))
+        )
     )
+    real = fmt != 1
     return refs.select(
         "doc_id",
         "media_ref",
         F.lit("image").alias("media_type"),
         payload.alias("payload"),
-        F.when(fmt == 0, F.lit(PNG_W)).otherwise(F.lit(64)).alias("width"),
-        F.when(fmt == 0, F.lit(PNG_H)).otherwise(F.lit(64)).alias("height"),
+        F.when(real, F.lit(PNG_W)).otherwise(F.lit(64)).alias("width"),
+        F.when(real, F.lit(PNG_H)).otherwise(F.lit(64)).alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
     )
 
@@ -146,14 +157,22 @@ def decode_stub(payload: bytes) -> np.ndarray:
 
 
 def decode_payload(payload: bytes) -> np.ndarray:
-    """Tiered decode: PNG bytes -> REAL pixels (functions/png.py); anything
-    else -> the documented stub tier. Always returns a FEATURE_DIM uint8
-    feature vector (real pixels flatten and tile/truncate to the fixed dim,
-    the plumbing contract downstream schemas rely on)."""
+    """Tiered decode: PNG and GIF bytes -> REAL pixels (functions/png.py /
+    functions/gif.py); anything else -> the documented stub tier. Always
+    returns a FEATURE_DIM uint8 feature vector (real pixels flatten and
+    tile/truncate to the fixed dim, the plumbing contract downstream
+    schemas rely on)."""
+    px = None
     if payload is not None and bytes(payload[:8]) == MAGIC["png"]:
         from ..functions.png import decode_png
 
-        px = decode_png(bytes(payload)).reshape(-1)
+        px = decode_png(bytes(payload))
+    elif payload is not None and bytes(payload[:4]) == b"GIF8":
+        from ..functions.gif import decode_gif
+
+        px = decode_gif(bytes(payload))
+    if px is not None:
+        px = px.reshape(-1)
         reps = (FEATURE_DIM + len(px) - 1) // len(px)
         return np.tile(px, reps)[:FEATURE_DIM]
     return decode_stub(payload)
@@ -188,22 +207,30 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Tiered resize: png payloads decode -> nearest-neighbor resample ->
-    re-encode FOR REAL (pure numpy index arithmetic, exact and
-    deterministic); other formats pass through with the metadata rewrite
-    (the stub tier). Same schema/partitioning either way."""
+    """Tiered resize: png AND gif payloads decode -> nearest-neighbor
+    resample -> re-encode FOR REAL (pure numpy index arithmetic, exact and
+    deterministic; a nearest-neighbor resample never adds colors, so the
+    gif palette bound is preserved); other formats pass through with the
+    metadata rewrite (the stub tier). Same schema/partitioning either way."""
+    from ..functions.gif import decode_gif, encode_gif
     from ..functions.png import decode_png, encode_png
 
     @F.pandas_udf(T.BinaryType())
     def _resize(payload: pd.Series) -> pd.Series:
         def one(p):
-            if p is None or bytes(p[:8]) != MAGIC["png"]:
+            if p is None:
                 return p
-            px = decode_png(bytes(p))
+            if bytes(p[:8]) == MAGIC["png"]:
+                dec, enc = decode_png, encode_png
+            elif bytes(p[:4]) == b"GIF8":
+                dec, enc = decode_gif, encode_gif
+            else:
+                return p
+            px = dec(bytes(p))
             h0, w0 = px.shape[:2]
             rows = (np.arange(height) * h0) // height
             cols = (np.arange(width) * w0) // width
-            return encode_png(px[rows][:, cols])
+            return enc(px[rows][:, cols])
 
         return payload.map(one)
 
