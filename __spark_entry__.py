@@ -11,8 +11,8 @@ export their intermediate tables to parquet inside the query so DuckDB
 re-derives the relational tail from the same bytes; the crawl-ordering rows
 export the Python reference simulator's order table the same way. The single
 rows-only entry is media_features (decode features are not SQL-expressible;
-the PNG and GIF tiers decode for real — pure zlib+numpy and LZW+palette
-codecs, pixel-exact pytest oracles — while JPEG decode stays stubbed, and
+PNG, GIF, and JPEG all decode for real — pure zlib+numpy, LZW+palette, and
+baseline-DCT codecs with pixel-exact / bounded-error pytest oracles — and
 the non-decode half is the SQL-oracled media_meta row).
 """
 

@@ -72,6 +72,10 @@ HEADLINE = [
     "lm_perplexity",
     "quality_classifier",
     "paragraph_dedup",
+    # r5 sixth-session additions (data selection, span dedup, relevance)
+    "dsir_select",
+    "exact_substr_dedup",
+    "bm25_topk",
 ]
 
 

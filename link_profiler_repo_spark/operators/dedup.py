@@ -659,3 +659,94 @@ def partial_dup_pairs(
         cdc_chunks(df, text_col=text_col, id_col=id_col),
         min_shared=min_shared, max_posting=max_posting,
     )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better" §4.1): remove every duplicated run of >= L tokens
+# from the corpus, keeping the globally-first occurrence. The paper builds a
+# corpus-wide suffix array; the relational rendering sorts (shuffles) on the
+# L-token WINDOW HASH instead — the same grouping the suffix array's
+# equal-prefix ranges produce, one shuffle, no giant index. Complements the
+# family: MinHash = whole-doc near-dup, CDC = chunk-level, paragraph_dedup =
+# line-level; this is the token-span tier.
+# ---------------------------------------------------------------------------
+
+
+def exact_substr_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+) -> DataFrame:
+    """Duplicated-span table: (doc_id, p) for every L-token window whose
+    content occurs elsewhere in the corpus and is NOT the global first
+    occurrence (first = min struct(doc_id, start) over the window key — the
+    copy the corpus keeps).
+
+    Scale shape: windows explode to one md5 KEY row per token position
+    (bounded: |tokens| rows, the same order as every gram op here), shuffle
+    ONCE on the key; duplicated keys shrink to a tiny fraction before the
+    join back (dup rate is the quantity being removed). The gram strings
+    stage through word_ngrams' linear zip_with form and hash to 16-byte
+    keys before the shuffle, so the exchange carries hashes, not text."""
+    from .textops import _words, word_ngrams_or_empty
+
+    toks = docs.select(id_col, _words(F.col(text_col)).alias("_ws"))
+    wins = toks.select(
+        id_col, F.posexplode(word_ngrams_or_empty(F.col("_ws"), min_len)).alias("p", "_g")
+    ).select(id_col, "p", F.md5("_g").alias("k"))
+    firsts = wins.groupBy("k").agg(
+        F.count("*").alias("c"), F.min(F.struct(id_col, "p")).alias("f")
+    )
+    return (
+        wins.join(firsts.filter(F.col("c") > 1), "k")
+        .filter(~((F.col(id_col) == F.col(f"f.{id_col}")) & (F.col("p") == F.col("f.p"))))
+        .select(id_col, "p")
+    )
+
+
+def exact_substr_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+) -> DataFrame:
+    """The dedup itself: every token covered by a non-first duplicated
+    window is dropped; the document rebuilds from the kept tokens
+    (single-space joined — tokens are the currency of this operator, like
+    the paper's byte-level variant is bytes). Returns (doc_id, n_tokens,
+    n_dup_windows, n_removed, text_clean); documents shorter than L tokens
+    are never touched.
+
+    The rebuild tests each token against the doc's duplicated starts with
+    exists() over a sorted per-doc array — O(n_tokens x n_dup_starts) per
+    document, bounded because dup starts <= n_tokens and the clean path
+    (zero dups) short-circuits on the empty array. A production build
+    replaces the exists() with a +1/-1 delta scan when docs carry
+    pathological dup density."""
+    spans = exact_substr_spans(docs, text_col, id_col, min_len)
+    starts = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("p")).alias("_starts")
+    )
+    from .textops import _words
+
+    toks = docs.select(id_col, _words(F.col(text_col)).alias("_ws"))
+    joined = toks.join(starts, id_col, "left").select(
+        id_col,
+        "_ws",
+        F.coalesce("_starts", F.array().cast("array<int>")).alias("_starts"),
+    )
+    kept = F.filter(
+        "_ws",
+        lambda x, i: ~F.exists(
+            "_starts", lambda s: (i >= s) & (i < s + F.lit(min_len))
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("_ws").cast("long").alias("n_tokens"),
+        F.size("_starts").cast("long").alias("n_dup_windows"),
+        (F.size("_ws") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )

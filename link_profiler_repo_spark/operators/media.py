@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns with
 typed metadata, processed by Arrow-batched UDFs over mapInPandas.
 
-DECODE tiers: PNG and GIF decode FOR REAL (functions/png.py — pure stdlib
-zlib + numpy, all five scanline filters; functions/gif.py — pure LZW +
-palette math; the synthetic corpus's png AND gif payloads are genuine
-encoded images whose pixels round-trip exactly). JPEG is the one remaining
-stub (an actual DCT codec needs an image library this container lacks —
-deterministic fake features behind decode_stub), with the Spark-side
+DECODE tiers: PNG, GIF, and JPEG all decode FOR REAL (functions/png.py —
+pure stdlib zlib + numpy, all five scanline filters; functions/gif.py —
+pure LZW + palette math; functions/jpeg.py — pure numpy baseline DCT
+codec). The synthetic corpus's payloads are genuine encoded images: png
+and gif pixels round-trip exactly; jpeg is lossy by design, so its decoded
+pixels are a deterministic function of the bytes with codec-test-pinned
+error bounds. decode_stub remains only as the documented tier for
+codec-less payloads (audio/video containers), with the Spark-side
 machinery identical across tiers: schema, batch iteration, partition
 sizing, and the UDF signatures match a libvips/ffmpeg-backed build.
 
@@ -68,13 +70,12 @@ def synth_pixels(ref: str) -> np.ndarray:
 
 def media_table_from_docs(docs: DataFrame) -> DataFrame:
     """Explode media spans into a media table with a deterministic synthetic
-    payload. Format picked by crc32(ref) % 3: png and gif rows carry a
-    GENUINE encoded image (functions/png.py / functions/gif.py) of
-    synth_pixels(ref) — built in an Arrow-batched UDF, the real shape of an
-    ingest that materializes encoded bytes; jpeg rows carry the container
-    magic + sha256-of-ref bytes standing in for encoded data (the DCT codec
-    is the stub tier)."""
+    payload. Format picked by crc32(ref) % 3: every row carries a GENUINE
+    encoded image (functions/png.py / functions/gif.py / functions/jpeg.py)
+    of synth_pixels(ref) — built in an Arrow-batched UDF, the real shape of
+    an ingest that materializes encoded bytes."""
     from ..functions.gif import encode_gif
+    from ..functions.jpeg import encode_jpeg
     from ..functions.png import encode_png
 
     refs = docs.select(
@@ -93,22 +94,23 @@ def media_table_from_docs(docs: DataFrame) -> DataFrame:
         # 8x8 synth pixels have <=64 distinct colors, within GIF's 256
         return ref.map(lambda r: encode_gif(synth_pixels(r)))
 
+    @F.pandas_udf(T.BinaryType())
+    def jpeg_payload(ref: pd.Series) -> pd.Series:
+        return ref.map(lambda r: encode_jpeg(synth_pixels(r), quality=90))
+
     fmt = F.crc32(F.col("media_ref")) % 3
     payload = (
         F.when(fmt == 0, png_payload(F.col("media_ref")))
         .when(fmt == 2, gif_payload(F.col("media_ref")))
-        .otherwise(
-            F.concat(F.lit(MAGIC["jpeg"]), F.sha2(F.col("media_ref"), 256).cast("binary"))
-        )
+        .otherwise(jpeg_payload(F.col("media_ref")))
     )
-    real = fmt != 1
     return refs.select(
         "doc_id",
         "media_ref",
         F.lit("image").alias("media_type"),
         payload.alias("payload"),
-        F.when(real, F.lit(PNG_W)).otherwise(F.lit(64)).alias("width"),
-        F.when(real, F.lit(PNG_H)).otherwise(F.lit(64)).alias("height"),
+        F.lit(PNG_W).alias("width"),
+        F.lit(PNG_H).alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
     )
 
@@ -157,8 +159,9 @@ def decode_stub(payload: bytes) -> np.ndarray:
 
 
 def decode_payload(payload: bytes) -> np.ndarray:
-    """Tiered decode: PNG and GIF bytes -> REAL pixels (functions/png.py /
-    functions/gif.py); anything else -> the documented stub tier. Always
+    """Tiered decode: PNG, GIF, and JPEG bytes -> REAL pixels
+    (functions/png.py / functions/gif.py / functions/jpeg.py); anything
+    else -> the documented stub tier (codec-less containers). Always
     returns a FEATURE_DIM uint8 feature vector (real pixels flatten and
     tile/truncate to the fixed dim, the plumbing contract downstream
     schemas rely on)."""
@@ -171,6 +174,10 @@ def decode_payload(payload: bytes) -> np.ndarray:
         from ..functions.gif import decode_gif
 
         px = decode_gif(bytes(payload))
+    elif payload is not None and bytes(payload[:2]) == b"\xff\xd8":
+        from ..functions.jpeg import decode_jpeg
+
+        px = decode_jpeg(bytes(payload))
     if px is not None:
         px = px.reshape(-1)
         reps = (FEATURE_DIM + len(px) - 1) // len(px)
@@ -207,12 +214,15 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Tiered resize: png AND gif payloads decode -> nearest-neighbor
-    resample -> re-encode FOR REAL (pure numpy index arithmetic, exact and
-    deterministic; a nearest-neighbor resample never adds colors, so the
-    gif palette bound is preserved); other formats pass through with the
-    metadata rewrite (the stub tier). Same schema/partitioning either way."""
+    """Tiered resize: png, gif, AND jpeg payloads decode -> nearest-neighbor
+    resample -> re-encode FOR REAL (pure numpy index arithmetic; png/gif
+    exact and deterministic — a nearest-neighbor resample never adds
+    colors, so the gif palette bound is preserved; jpeg re-encode is lossy
+    by the format's nature but deterministic). Codec-less formats pass
+    through with the metadata rewrite (the stub tier). Same
+    schema/partitioning either way."""
     from ..functions.gif import decode_gif, encode_gif
+    from ..functions.jpeg import decode_jpeg, encode_jpeg
     from ..functions.png import decode_png, encode_png
 
     @F.pandas_udf(T.BinaryType())
@@ -224,6 +234,12 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 dec, enc = decode_png, encode_png
             elif bytes(p[:4]) == b"GIF8":
                 dec, enc = decode_gif, encode_gif
+            elif bytes(p[:2]) == b"\xff\xd8":
+                # decode_jpeg yields (H,W,1) for gray; encode takes (H,W)
+                dec = decode_jpeg
+                enc = lambda a: encode_jpeg(  # noqa: E731
+                    a[:, :, 0] if a.ndim == 3 and a.shape[2] == 1 else a
+                )
             else:
                 return p
             px = dec(bytes(p))

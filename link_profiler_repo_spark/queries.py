@@ -4175,3 +4175,154 @@ LIMIT 120
 
 SPARK_QUERIES["dsir_select"] = q_dsir_select
 SQL_ORACLES["dsir_select"] = SQL_DSIR_SELECT
+
+
+# -- ExactSubstr dedup (operators/dedup.py exact_substr_dedup — Lee et al.
+# 2022 §4.1: remove duplicated >=L-token spans, keep the global first
+# occurrence; the corpus-wide suffix sort rendered as ONE shuffle on the
+# window hash). DuckDB re-derives tokenization, the L-token windows, the
+# md5 window keys, first-occurrence marking (by a DIFFERENT algorithm:
+# ROW_NUMBER window vs Spark's min-struct aggregate), span coverage, and
+# the token-level rebuild. Grafted docs share a 12-word passage (cross-doc
+# dups) and one doc repeats it internally (intra-doc dup). ------------------
+
+_ES_PASSAGE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+)
+
+
+def q_exact_substr_dedup(spark, sf_dir):
+    from .operators.dedup import exact_substr_dedup
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("id")
+    g = [
+        (80_000_000, f"unique prefix one {_ES_PASSAGE} unique tail one"),
+        (80_000_001, f"another opening phrase here {_ES_PASSAGE} closing words two"),
+        (80_000_002, f"{_ES_PASSAGE} {_ES_PASSAGE}"),
+        (80_000_003, "short doc under the window"),
+    ]
+    grafts = None
+    for did, txt in g:
+        row = spark.range(1).select(
+            (i + did).alias("doc_id"), F.lit(txt).alias("text")
+        )
+        grafts = row if grafts is None else grafts.unionByName(row)
+    return exact_substr_dedup(d.unionByName(grafts), min_len=8)
+
+
+SQL_EXACT_SUBSTR_DEDUP = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT 80000000, 'unique prefix one {_ES_PASSAGE} unique tail one'
+  UNION ALL SELECT 80000001, 'another opening phrase here {_ES_PASSAGE} closing words two'
+  UNION ALL SELECT 80000002, '{_ES_PASSAGE} {_ES_PASSAGE}'
+  UNION ALL SELECT 80000003, 'short doc under the window'
+),
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')), '\\s+'),
+                     x -> length(x) > 0) AS words
+  FROM base
+),
+wins AS (
+  SELECT doc_id, unnest(range(0, greatest(len(words) - 7, 0))) AS p, words
+  FROM tok
+),
+keyed AS (
+  SELECT doc_id, p, md5(array_to_string(words[p+1 : p+8], ' ')) AS k FROM wins
+),
+marked AS (
+  SELECT doc_id, p,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, p) AS rn,
+         COUNT(*) OVER (PARTITION BY k) AS c
+  FROM keyed
+),
+spans AS (SELECT doc_id, p FROM marked WHERE c > 1 AND rn > 1),
+toki AS (SELECT doc_id, unnest(range(0, len(words))) AS idx, words FROM tok),
+kept AS (
+  SELECT t.doc_id, t.idx, t.words[t.idx + 1] AS w
+  FROM toki t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = t.doc_id AND t.idx >= s.p AND t.idx < s.p + 8
+  )
+)
+SELECT tk.doc_id,
+       CAST(len(tk.words) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(sp.nw, 0) AS BIGINT) AS n_dup_windows,
+       CAST(len(tk.words) - COALESCE(kp.nk, 0) AS BIGINT) AS n_removed,
+       COALESCE(kp.txt, '') AS text_clean
+FROM tok tk
+LEFT JOIN (SELECT doc_id, COUNT(*) AS nw FROM spans GROUP BY doc_id) sp USING (doc_id)
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS nk, string_agg(w, ' ' ORDER BY idx) AS txt
+  FROM kept GROUP BY doc_id
+) kp USING (doc_id)
+"""
+
+SPARK_QUERIES["exact_substr_dedup"] = q_exact_substr_dedup
+SQL_ORACLES["exact_substr_dedup"] = SQL_EXACT_SUBSTR_DEDUP
+
+
+# -- BM25 relevance scoring (operators/relevance.py — Robertson & Zaragoza
+# 2009, Lucene idf flavor; the term-based ranker behind the reference's
+# keyword/SERP analysis). DuckDB re-derives tokenization, tf, document
+# frequencies, the micro-nat idf quantization, the identical
+# double-precision saturation fraction, per-term integer contributions,
+# and the top-k cut with doc_id tie-break. -----------------------------------
+
+
+def q_bm25_topk(spark, sf_dir):
+    from .operators.relevance import bm25_topk
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(d, ["hash", "join", "vector", "stream"], k=100)
+
+
+SQL_BM25_TOPK = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')), '\\s+'),
+                     x -> length(x) > 0) AS words
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(len(words)), 0) AS BIGINT) AS total_dl
+  FROM tok
+),
+tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(words) AS w FROM tok)
+  WHERE w IN ('hash', 'join', 'stream', 'vector')
+  GROUP BY doc_id, w
+),
+nt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_t FROM tf GROUP BY w),
+idf AS (
+  SELECT w,
+         CAST(ROUND(ln(1.0 + (s.n_docs - n_t + 0.5) / (n_t + 0.5)) * 1000000.0, 0) AS BIGINT)
+           AS idf_micro,
+         s.n_docs, s.total_dl
+  FROM nt CROSS JOIN stats s
+),
+dl AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM tok),
+j AS (
+  SELECT tf.doc_id, dl.dl,
+         CAST(ROUND(idf_micro * (
+           (tf * (1.2 + 1.0)) /
+           (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) /
+              (CAST(i.total_dl AS DOUBLE) / CAST(i.n_docs AS DOUBLE)))))
+         ), 0) AS BIGINT) AS c
+  FROM tf JOIN idf i USING (w) JOIN dl ON tf.doc_id = dl.doc_id
+)
+SELECT doc_id, dl,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+       CAST(SUM(c) AS BIGINT) AS score_micro
+FROM j GROUP BY doc_id, dl
+ORDER BY score_micro DESC, doc_id
+LIMIT 100
+"""
+
+SPARK_QUERIES["bm25_topk"] = q_bm25_topk
+SQL_ORACLES["bm25_topk"] = SQL_BM25_TOPK
