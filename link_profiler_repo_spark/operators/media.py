@@ -1,16 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns with
 typed metadata, processed by Arrow-batched UDFs over mapInPandas.
 
-DECODE tiers: PNG, GIF, and JPEG all decode FOR REAL (functions/png.py —
-pure stdlib zlib + numpy, all five scanline filters; functions/gif.py —
-pure LZW + palette math; functions/jpeg.py — pure numpy baseline DCT
-codec). The synthetic corpus's payloads are genuine encoded images: png
-and gif pixels round-trip exactly; jpeg is lossy by design, so its decoded
-pixels are a deterministic function of the bytes with codec-test-pinned
-error bounds. decode_stub remains only as the documented tier for
-codec-less payloads (audio/video containers), with the Spark-side
-machinery identical across tiers: schema, batch iteration, partition
-sizing, and the UDF signatures match a libvips/ffmpeg-backed build.
+DECODE tiers: PNG, GIF, JPEG, and WAV audio all decode FOR REAL
+(functions/png.py — pure stdlib zlib + numpy, all five scanline filters;
+functions/gif.py — pure LZW + palette math; functions/jpeg.py — pure numpy
+baseline DCT codec; functions/wav.py — RIFF PCM). The synthetic corpus's
+payloads are genuine encoded media: png/gif pixels and wav samples
+round-trip exactly; jpeg is lossy by design, so its decoded pixels are a
+deterministic function of the bytes with codec-test-pinned error bounds.
+decode_stub remains only as the documented tier for codec-less payloads
+(video containers), with the Spark-side machinery identical across tiers:
+schema, batch iteration, partition sizing, and the UDF signatures match a
+libvips/ffmpeg-backed build.
 
 Reference analog: media spans / images_found (core/models.py:390,
 crawlers/content_parser.py:62-67) — extended to the training-data use case.
@@ -70,13 +71,15 @@ def synth_pixels(ref: str) -> np.ndarray:
 
 def media_table_from_docs(docs: DataFrame) -> DataFrame:
     """Explode media spans into a media table with a deterministic synthetic
-    payload. Format picked by crc32(ref) % 3: every row carries a GENUINE
-    encoded image (functions/png.py / functions/gif.py / functions/jpeg.py)
-    of synth_pixels(ref) — built in an Arrow-batched UDF, the real shape of
-    an ingest that materializes encoded bytes."""
+    payload. Format picked by crc32(ref) % 4: every row carries a GENUINE
+    encoded payload — png/gif/jpeg images of synth_pixels(ref)
+    (functions/png.py / gif.py / jpeg.py) or a PCM WAV of
+    synth_samples(ref) (functions/wav.py) — built in an Arrow-batched UDF,
+    the real shape of an ingest that materializes encoded bytes."""
     from ..functions.gif import encode_gif
     from ..functions.jpeg import encode_jpeg
     from ..functions.png import encode_png
+    from ..functions.wav import AUDIO_N, AUDIO_RATE, encode_wav, synth_samples
 
     refs = docs.select(
         F.col("doc_id"),
@@ -98,20 +101,27 @@ def media_table_from_docs(docs: DataFrame) -> DataFrame:
     def jpeg_payload(ref: pd.Series) -> pd.Series:
         return ref.map(lambda r: encode_jpeg(synth_pixels(r), quality=90))
 
-    fmt = F.crc32(F.col("media_ref")) % 3
+    @F.pandas_udf(T.BinaryType())
+    def wav_payload(ref: pd.Series) -> pd.Series:
+        return ref.map(lambda r: encode_wav(synth_samples(r, AUDIO_N), AUDIO_RATE))
+
+    fmt = F.crc32(F.col("media_ref")) % 4
     payload = (
         F.when(fmt == 0, png_payload(F.col("media_ref")))
         .when(fmt == 2, gif_payload(F.col("media_ref")))
+        .when(fmt == 3, wav_payload(F.col("media_ref")))
         .otherwise(jpeg_payload(F.col("media_ref")))
     )
+    image = fmt != 3
+    dur_ms = F.lit(round(AUDIO_N * 1000 / AUDIO_RATE)).cast("int")
     return refs.select(
         "doc_id",
         "media_ref",
-        F.lit("image").alias("media_type"),
+        F.when(image, F.lit("image")).otherwise(F.lit("audio")).alias("media_type"),
         payload.alias("payload"),
-        F.lit(PNG_W).alias("width"),
-        F.lit(PNG_H).alias("height"),
-        F.lit(None).cast("int").alias("duration_ms"),
+        F.when(image, F.lit(PNG_W)).cast("int").alias("width"),
+        F.when(image, F.lit(PNG_H)).cast("int").alias("height"),
+        F.when(~image, dur_ms).alias("duration_ms"),
     )
 
 
@@ -159,11 +169,11 @@ def decode_stub(payload: bytes) -> np.ndarray:
 
 
 def decode_payload(payload: bytes) -> np.ndarray:
-    """Tiered decode: PNG, GIF, and JPEG bytes -> REAL pixels
-    (functions/png.py / functions/gif.py / functions/jpeg.py); anything
-    else -> the documented stub tier (codec-less containers). Always
-    returns a FEATURE_DIM uint8 feature vector (real pixels flatten and
-    tile/truncate to the fixed dim, the plumbing contract downstream
+    """Tiered decode: PNG/GIF/JPEG bytes -> REAL pixels and WAV bytes ->
+    REAL PCM samples (functions/{png,gif,jpeg,wav}.py); anything else ->
+    the documented stub tier (codec-less containers, i.e. video). Always
+    returns a FEATURE_DIM uint8 feature vector (real pixels/samples flatten
+    and tile/truncate to the fixed dim, the plumbing contract downstream
     schemas rely on)."""
     px = None
     if payload is not None and bytes(payload[:8]) == MAGIC["png"]:
@@ -178,6 +188,16 @@ def decode_payload(payload: bytes) -> np.ndarray:
         from ..functions.jpeg import decode_jpeg
 
         px = decode_jpeg(bytes(payload))
+    elif (
+        payload is not None
+        and bytes(payload[:4]) == b"RIFF"
+        and bytes(payload[8:12]) == b"WAVE"
+    ):
+        from ..functions.wav import decode_wav
+
+        samples, _ = decode_wav(bytes(payload))
+        # audio features: low byte of each PCM sample, the uint8 contract
+        px = (samples[:, 0].astype(np.int64) & 0xFF).astype(np.uint8)
     if px is not None:
         px = px.reshape(-1)
         reps = (FEATURE_DIM + len(px) - 1) // len(px)

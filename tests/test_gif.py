@@ -67,7 +67,7 @@ def test_media_gif_tier_decodes_real_pixels(spark):
     )
     from link_profiler_repo_spark.synth import SynthParams, synth_docs_spark
 
-    docs = synth_docs_spark(spark, SynthParams(n_docs=30, n_hosts=3))
+    docs = synth_docs_spark(spark, SynthParams(n_docs=40, n_hosts=4))
     media = media_table_from_docs(docs)
     gif_rows = [r for r in media.collect() if bytes(r["payload"][:4]) == b"GIF8"]
     assert gif_rows, "fixture must produce gif-tier rows"
@@ -93,7 +93,7 @@ def test_resize_media_real_gif_tier(spark):
     )
     from link_profiler_repo_spark.synth import SynthParams, synth_docs_spark
 
-    docs = synth_docs_spark(spark, SynthParams(n_docs=30, n_hosts=3))
+    docs = synth_docs_spark(spark, SynthParams(n_docs=40, n_hosts=4))
     resized = resize_media(media_table_from_docs(docs), 4, 4)
     rows = [r for r in resized.collect() if bytes(r["payload"][:4]) == b"GIF8"]
     assert rows, "fixture must produce gif-tier rows"

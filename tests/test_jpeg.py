@@ -82,7 +82,7 @@ def test_media_jpeg_tier_decodes_real_pixels(spark):
     )
     from link_profiler_repo_spark.synth import SynthParams, synth_docs_spark
 
-    docs = synth_docs_spark(spark, SynthParams(n_docs=30, n_hosts=3))
+    docs = synth_docs_spark(spark, SynthParams(n_docs=40, n_hosts=4))
     media = media_table_from_docs(docs)
     jpeg_rows = [r for r in media.collect() if bytes(r["payload"][:2]) == b"\xff\xd8"]
     assert jpeg_rows, "fixture must produce jpeg-tier rows"
@@ -109,7 +109,7 @@ def test_resize_media_real_jpeg_tier(spark):
     )
     from link_profiler_repo_spark.synth import SynthParams, synth_docs_spark
 
-    docs = synth_docs_spark(spark, SynthParams(n_docs=30, n_hosts=3))
+    docs = synth_docs_spark(spark, SynthParams(n_docs=40, n_hosts=4))
     resized = resize_media(media_table_from_docs(docs), 4, 4)
     rows = [r for r in resized.collect() if bytes(r["payload"][:2]) == b"\xff\xd8"]
     assert rows, "fixture must produce jpeg-tier rows"

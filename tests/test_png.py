@@ -50,7 +50,7 @@ def test_media_png_tier_decodes_real_pixels(spark):
     )
     from link_profiler_repo_spark.synth import SynthParams, synth_docs_spark
 
-    docs = synth_docs_spark(spark, SynthParams(n_docs=30, n_hosts=3))
+    docs = synth_docs_spark(spark, SynthParams(n_docs=40, n_hosts=4))
     media = media_table_from_docs(docs)
     png_rows = [r for r in media.collect() if bytes(r["payload"][:8]) == b"\x89PNG\r\n\x1a\n"]
     assert png_rows, "fixture must produce png-tier rows"
@@ -77,7 +77,7 @@ def test_resize_media_real_png_tier(spark):
     )
     from link_profiler_repo_spark.synth import SynthParams, synth_docs_spark
 
-    docs = synth_docs_spark(spark, SynthParams(n_docs=30, n_hosts=3))
+    docs = synth_docs_spark(spark, SynthParams(n_docs=40, n_hosts=4))
     media = media_table_from_docs(docs)
     resized = resize_media(media, 4, 6)
     for r in resized.collect():
