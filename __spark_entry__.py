@@ -11,10 +11,10 @@ export their intermediate tables to parquet inside the query so DuckDB
 re-derives the relational tail from the same bytes; the crawl-ordering rows
 export the Python reference simulator's order table the same way. The single
 rows-only entry is media_features (decode features are not SQL-expressible;
-PNG, GIF, JPEG, and WAV audio all decode for real — pure zlib+numpy,
-LZW+palette, baseline-DCT, and RIFF-PCM codecs with pixel-/sample-exact or
-bounded-error pytest oracles — and the non-decode half is the SQL-oracled
-media_meta row).
+PNG, GIF, JPEG images, WAV audio, and Y4M video all decode for real — pure
+zlib+numpy, LZW+palette, baseline-DCT, RIFF-PCM, and raw-plane codecs with
+pixel-/sample-exact or bounded-error pytest oracles — and the non-decode
+half is the SQL-oracled media_meta row).
 """
 
 from __future__ import annotations

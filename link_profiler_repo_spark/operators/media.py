@@ -1,17 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns with
 typed metadata, processed by Arrow-batched UDFs over mapInPandas.
 
-DECODE tiers: PNG, GIF, JPEG, and WAV audio all decode FOR REAL
-(functions/png.py — pure stdlib zlib + numpy, all five scanline filters;
-functions/gif.py — pure LZW + palette math; functions/jpeg.py — pure numpy
-baseline DCT codec; functions/wav.py — RIFF PCM). The synthetic corpus's
-payloads are genuine encoded media: png/gif pixels and wav samples
-round-trip exactly; jpeg is lossy by design, so its decoded pixels are a
-deterministic function of the bytes with codec-test-pinned error bounds.
-decode_stub remains only as the documented tier for codec-less payloads
-(video containers), with the Spark-side machinery identical across tiers:
-schema, batch iteration, partition sizing, and the UDF signatures match a
-libvips/ffmpeg-backed build.
+DECODE tiers: PNG, GIF, JPEG images, WAV audio, AND Y4M video all decode
+FOR REAL (functions/png.py — pure stdlib zlib + numpy, all five scanline
+filters; functions/gif.py — pure LZW + palette math; functions/jpeg.py —
+pure numpy baseline DCT codec; functions/wav.py — RIFF PCM;
+functions/y4m.py — YUV4MPEG2 raw planes, sample-exact). The synthetic
+corpus's payloads are genuine encoded media: png/gif pixels, wav samples,
+and y4m frames round-trip exactly; jpeg is lossy by design, so its decoded
+pixels are a deterministic function of the bytes with codec-test-pinned
+error bounds. Every media class (image/audio/video) has a real codec;
+decode_stub remains only as the documented tier for formats whose codec
+needs an external library (e.g. compressed video containers), with the
+Spark-side machinery identical across tiers: schema, batch iteration,
+partition sizing, and the UDF signatures match a libvips/ffmpeg-backed
+build.
 
 Reference analog: media spans / images_found (core/models.py:390,
 crawlers/content_parser.py:62-67) — extended to the training-data use case.
@@ -71,15 +74,17 @@ def synth_pixels(ref: str) -> np.ndarray:
 
 def media_table_from_docs(docs: DataFrame) -> DataFrame:
     """Explode media spans into a media table with a deterministic synthetic
-    payload. Format picked by crc32(ref) % 4: every row carries a GENUINE
+    payload. Format picked by crc32(ref) % 5: every row carries a GENUINE
     encoded payload — png/gif/jpeg images of synth_pixels(ref)
-    (functions/png.py / gif.py / jpeg.py) or a PCM WAV of
-    synth_samples(ref) (functions/wav.py) — built in an Arrow-batched UDF,
-    the real shape of an ingest that materializes encoded bytes."""
+    (functions/png.py / gif.py / jpeg.py), a PCM WAV of synth_samples(ref)
+    (functions/wav.py), or a Y4M clip of synth_frames(ref)
+    (functions/y4m.py) — built in an Arrow-batched UDF, the real shape of
+    an ingest that materializes encoded bytes."""
     from ..functions.gif import encode_gif
     from ..functions.jpeg import encode_jpeg
     from ..functions.png import encode_png
     from ..functions.wav import AUDIO_N, AUDIO_RATE, encode_wav, synth_samples
+    from ..functions.y4m import VIDEO_FPS, VIDEO_T, encode_y4m, synth_frames
 
     refs = docs.select(
         F.col("doc_id"),
@@ -105,23 +110,36 @@ def media_table_from_docs(docs: DataFrame) -> DataFrame:
     def wav_payload(ref: pd.Series) -> pd.Series:
         return ref.map(lambda r: encode_wav(synth_samples(r, AUDIO_N), AUDIO_RATE))
 
-    fmt = F.crc32(F.col("media_ref")) % 4
+    @F.pandas_udf(T.BinaryType())
+    def y4m_payload(ref: pd.Series) -> pd.Series:
+        return ref.map(lambda r: encode_y4m(synth_frames(r), VIDEO_FPS, 1))
+
+    fmt = F.crc32(F.col("media_ref")) % 5
     payload = (
         F.when(fmt == 0, png_payload(F.col("media_ref")))
         .when(fmt == 2, gif_payload(F.col("media_ref")))
         .when(fmt == 3, wav_payload(F.col("media_ref")))
+        .when(fmt == 4, y4m_payload(F.col("media_ref")))
         .otherwise(jpeg_payload(F.col("media_ref")))
     )
-    image = fmt != 3
-    dur_ms = F.lit(round(AUDIO_N * 1000 / AUDIO_RATE)).cast("int")
+    mtype = (
+        F.when(fmt == 3, F.lit("audio"))
+        .when(fmt == 4, F.lit("video"))
+        .otherwise(F.lit("image"))
+    )
+    audio_ms = F.lit(round(AUDIO_N * 1000 / AUDIO_RATE)).cast("int")
+    video_ms = F.lit(round(VIDEO_T * 1000 / VIDEO_FPS)).cast("int")
+    sized = fmt != 3  # images and video carry pixel dimensions
     return refs.select(
         "doc_id",
         "media_ref",
-        F.when(image, F.lit("image")).otherwise(F.lit("audio")).alias("media_type"),
+        mtype.alias("media_type"),
         payload.alias("payload"),
-        F.when(image, F.lit(PNG_W)).cast("int").alias("width"),
-        F.when(image, F.lit(PNG_H)).cast("int").alias("height"),
-        F.when(~image, dur_ms).alias("duration_ms"),
+        F.when(sized, F.lit(PNG_W)).cast("int").alias("width"),
+        F.when(sized, F.lit(PNG_H)).cast("int").alias("height"),
+        F.when(fmt == 3, audio_ms)
+        .when(fmt == 4, video_ms)
+        .alias("duration_ms"),
     )
 
 
@@ -136,6 +154,7 @@ def sniff_format(payload_col) -> "F.Column":
         .when(h.startswith("FFD8FF"), F.lit("jpeg"))
         .when(h.startswith("47494638"), F.lit("gif"))
         .when(h.startswith("52494646"), F.lit("riff"))
+        .when(h.startswith("595556344D50454732"), F.lit("y4m"))
         .otherwise(F.lit("unknown"))
     )
 
@@ -169,11 +188,12 @@ def decode_stub(payload: bytes) -> np.ndarray:
 
 
 def decode_payload(payload: bytes) -> np.ndarray:
-    """Tiered decode: PNG/GIF/JPEG bytes -> REAL pixels and WAV bytes ->
-    REAL PCM samples (functions/{png,gif,jpeg,wav}.py); anything else ->
-    the documented stub tier (codec-less containers, i.e. video). Always
-    returns a FEATURE_DIM uint8 feature vector (real pixels/samples flatten
-    and tile/truncate to the fixed dim, the plumbing contract downstream
+    """Tiered decode: PNG/GIF/JPEG bytes -> REAL pixels, WAV bytes -> REAL
+    PCM samples, Y4M bytes -> REAL frame pixels
+    (functions/{png,gif,jpeg,wav,y4m}.py); anything else -> the documented
+    stub tier (formats needing an external codec library). Always returns a
+    FEATURE_DIM uint8 feature vector (real pixels/samples flatten and
+    tile/truncate to the fixed dim, the plumbing contract downstream
     schemas rely on)."""
     px = None
     if payload is not None and bytes(payload[:8]) == MAGIC["png"]:
@@ -198,6 +218,11 @@ def decode_payload(payload: bytes) -> np.ndarray:
         samples, _ = decode_wav(bytes(payload))
         # audio features: low byte of each PCM sample, the uint8 contract
         px = (samples[:, 0].astype(np.int64) & 0xFF).astype(np.uint8)
+    elif payload is not None and bytes(payload[:9]) == b"YUV4MPEG2":
+        from ..functions.y4m import decode_y4m
+
+        frames, _ = decode_y4m(bytes(payload))
+        px = frames  # all frames flatten into the fixed-dim contract below
     if px is not None:
         px = px.reshape(-1)
         reps = (FEATURE_DIM + len(px) - 1) // len(px)
@@ -234,22 +259,30 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Tiered resize: png, gif, AND jpeg payloads decode -> nearest-neighbor
-    resample -> re-encode FOR REAL (pure numpy index arithmetic; png/gif
-    exact and deterministic — a nearest-neighbor resample never adds
-    colors, so the gif palette bound is preserved; jpeg re-encode is lossy
-    by the format's nature but deterministic). Codec-less formats pass
-    through with the metadata rewrite (the stub tier). Same
-    schema/partitioning either way."""
+    """Tiered resize: png, gif, jpeg, AND y4m payloads decode ->
+    nearest-neighbor resample -> re-encode FOR REAL (pure numpy index
+    arithmetic; png/gif/y4m exact and deterministic — a nearest-neighbor
+    resample never adds colors, so the gif palette bound is preserved, and
+    y4m resamples every frame spatially with the frame count and rate
+    untouched; jpeg re-encode is lossy by the format's nature but
+    deterministic). Codec-less formats pass through with the metadata
+    rewrite (the stub tier). Same schema/partitioning either way."""
     from ..functions.gif import decode_gif, encode_gif
     from ..functions.jpeg import decode_jpeg, encode_jpeg
     from ..functions.png import decode_png, encode_png
+    from ..functions.y4m import decode_y4m, encode_y4m
 
     @F.pandas_udf(T.BinaryType())
     def _resize(payload: pd.Series) -> pd.Series:
         def one(p):
             if p is None:
                 return p
+            if bytes(p[:9]) == b"YUV4MPEG2":
+                frames, (num, den) = decode_y4m(bytes(p))
+                h0, w0 = frames.shape[1:3]
+                rows = (np.arange(height) * h0) // height
+                cols = (np.arange(width) * w0) // width
+                return encode_y4m(frames[:, rows][:, :, cols], num, den)
             if bytes(p[:8]) == MAGIC["png"]:
                 dec, enc = decode_png, encode_png
             elif bytes(p[:4]) == b"GIF8":
@@ -275,6 +308,63 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
         _resize(F.col("payload")).alias("payload"),
         F.lit(width).alias("width"), F.lit(height).alias("height"),
         "duration_ms",
+    )
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling over the Y4M tier: decode each video
+    payload (functions/y4m.py), take one frame per `every_ms` of stream
+    time (frame index = floor(ts * fps), clamped to the clip), and emit one
+    row per sampled frame with the frame's content fingerprint and
+    dimensions. mapInPandas streams batches through the worker — a
+    partition of clips never materializes as pixels at once; at 100 TB the
+    operator is one scan with per-task memory bounded by a single decoded
+    clip. Non-video rows are filtered scan-side."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("ts_ms", T.IntegerType(), False),
+            T.StructField("frame_sha256", T.StringType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("width", T.IntegerType(), False),
+        ]
+    )
+
+    def run(batches):
+        from ..functions.y4m import decode_y4m
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("media_ref", "frame_idx", "ts_ms", "frame_sha256",
+                     "height", "width")}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                frames, (num, den) = decode_y4m(bytes(payload))
+                t, h, w = frames.shape[:3]
+                dur_ms = t * 1000 * den / num
+                ts = 0
+                while ts < dur_ms:
+                    idx = min(int(ts * num / (1000 * den)), t - 1)
+                    rows["media_ref"].append(ref)
+                    rows["frame_idx"].append(idx)
+                    rows["ts_ms"].append(ts)
+                    rows["frame_sha256"].append(
+                        hashlib.sha256(
+                            np.ascontiguousarray(frames[idx]).tobytes()
+                        ).hexdigest()
+                    )
+                    rows["height"].append(h)
+                    rows["width"].append(w)
+                    ts += every_ms
+            yield pd.DataFrame(rows).astype(
+                {"frame_idx": "int32", "ts_ms": "int32",
+                 "height": "int32", "width": "int32"}
+            )
+
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select("media_ref", "payload")
+        .mapInPandas(run, schema=out_schema)
     )
 
 

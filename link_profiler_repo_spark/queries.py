@@ -1422,6 +1422,7 @@ SELECT doc_id, media_ref,
             WHEN starts_with(hex(payload), 'FFD8FF') THEN 'jpeg'
             WHEN starts_with(hex(payload), '47494638') THEN 'gif'
             WHEN starts_with(hex(payload), '52494646') THEN 'riff'
+            WHEN starts_with(hex(payload), '595556344D50454732') THEN 'y4m'
             ELSE 'unknown' END AS format,
        md5(hex(payload)) AS md5_hex,
        sha256(hex(payload)) AS sha256_hex
