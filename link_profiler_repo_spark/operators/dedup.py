@@ -19,6 +19,9 @@ with keyed aggregations. Nothing here collects to the driver.
 - partial_dup_pairs:  rolling-hash content-defined chunking (FastCDC/rsync
                       family): shared-chunk counting detects PARTIAL overlap
                       and containment that whole-doc signatures miss.
+- semdedup:           SemDeDup (Abbas et al. 2023): k-means cells -> within-
+                      cell cosine groups -> keep the least-prototypical
+                      member (lowest centroid similarity) per group.
 """
 
 from __future__ import annotations
@@ -506,6 +509,107 @@ def ivf_blocked_cosine_pairs(
     # a pair co-resident in several replica cells appears once per shared
     # cell with an IDENTICAL cosine — max() collapses without changing values
     return pairs.groupBy("a", "b").agg(F.max("cosine").alias("cosine"))
+
+
+def semdedup_keep(
+    cells: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    cent_col: str = "c",
+    block_col: str = "cell",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup over
+    embeddings: k-means partitions the corpus, duplicates are within-cell
+    pairs with cosine >= threshold (the paper's 1-eps), and each duplicate
+    group keeps the member with the LOWEST similarity to its cell centroid
+    (§3's keep-edge-examples rule — the retained doc is the least
+    prototypical), ties broken by id. Input is the IVF storage layout as a
+    HARD partition (one row per vector: id, cell, vector, assigned-centroid
+    vector); `semdedup` composes the training/assignment in front.
+
+    Scale shape: the pair join is quadratic only within cells (the same
+    blocked_cosine_pairs tier the ivf dedup uses), duplicate groups close
+    transitively via star-contraction components (O(log²) keyed-agg
+    rounds), and the keep rule is one groupBy(cluster) min-struct agg + a
+    join back — no window over the corpus, no driver collect. Centroid
+    similarity is quantized to integer micro-units (round(1e6·cos)) so the
+    argmin is engine-exact. Returns (id, cluster_id, cent_sim_q, keep)."""
+    from .components import connected_components
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    e, c = F.col(vec_col), F.col(cent_col)
+    cent_sim_q = F.round(
+        F.lit(1e6) * dot(e, c) / (F.sqrt(dot(e, e)) * F.sqrt(dot(c, c)))
+    ).cast("long")
+    base = cells.select(
+        F.col(id_col),
+        F.col(block_col),
+        e.alias("_e"),
+        cent_sim_q.alias("cent_sim_q"),
+    )
+    pairs = blocked_cosine_pairs(
+        base, vec_col="_e", id_col=id_col, block_col=block_col, threshold=threshold
+    ).select("a", "b")
+    comp = connected_components(pairs, a_col="a", b_col="b").withColumnRenamed(
+        "node", id_col
+    )
+    lab = (
+        base.join(comp, id_col, "left")
+        .withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
+        .select(id_col, "cluster_id", "cent_sim_q")
+    )
+    keeper = lab.groupBy("cluster_id").agg(
+        F.min(F.struct("cent_sim_q", id_col)).alias("m")
+    )
+    return lab.join(keeper, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cent_sim_q",
+        (F.col(id_col) == F.col(f"m.{id_col}")).alias("keep"),
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.8,
+    nlist: int | None = None,
+    centroids: "np.ndarray | None" = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup end to end: train spherical k-means (sampled, driver-bounded
+    — similarity.train_centroids), hard-assign every vector to its nearest
+    cell (replicas=1: the paper clusters, it does not multi-assign), attach
+    the assigned centroid vector via a broadcast of the nlist-row centroid
+    table, and run semdedup_keep. Returns (id, cluster_id, cent_sim_q,
+    keep); downstream corpus builds filter on keep."""
+    from .similarity import assign_cells, train_centroids
+
+    if centroids is None:
+        n_rows = df.count()
+        if nlist is None:
+            nlist = max(4, int(n_rows ** 0.5))
+        centroids = train_centroids(df, nlist, vec_col=vec_col, n_rows=n_rows)
+    cells = assign_cells(
+        df.select(id_col, vec_col), centroids, replicas=1,
+        vec_col=vec_col, id_col=id_col,
+    )
+    spark = df.sparkSession
+    cent_rows = [(i, [float(x) for x in v]) for i, v in enumerate(centroids)]
+    cdf = spark.createDataFrame(cent_rows, "cell int, c array<double>")
+    stored = cells.select(
+        id_col, "cell",
+        F.transform(vec_col, lambda x: x.cast("double")).alias("e"),
+    ).join(F.broadcast(cdf), "cell")
+    return semdedup_keep(
+        stored, threshold=threshold, id_col=id_col,
+        vec_col="e", cent_col="c", block_col="cell",
+    )
 
 
 # -- rolling-hash document fingerprinting (content-defined chunking) ----------

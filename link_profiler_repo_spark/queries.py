@@ -1578,6 +1578,82 @@ SPARK_QUERIES["ivf_blocked_pairs"] = q_ivf_blocked_pairs
 SQL_ORACLES["ivf_blocked_pairs"] = SQL_IVF_BLOCKED_PAIRS
 
 
+_GATE_SEMDEDUP_PATH = f"/tmp/spark_graft_gate_semdedup_{os.getpid()}"
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): the hard k-means partition (vec, cell,
+    assigned-centroid vector) is exported to parquet — the same IVF-layout
+    export pattern as ivf_blocked_pairs — then BOTH engines re-derive the
+    within-cell cosine pair graph, close it transitively (engine:
+    star-contraction components; DuckDB: recursive-CTE closure — different
+    algorithms, same fixpoint), quantize centroid similarity to integer
+    micro-units, and apply the paper's keep-rule (lowest centroid
+    similarity per duplicate group, engine: min-struct agg; DuckDB:
+    ROW_NUMBER window — twin algorithms again). Only k-means training stays
+    pytest-verified."""
+    from .operators.dedup import semdedup_keep
+    from .operators.similarity import assign_cells, train_centroids
+
+    e = load(spark, sf_dir, "embeddings")
+    n_rows = e.count()
+    cents = train_centroids(e, max(4, int(n_rows ** 0.5)), n_rows=n_rows)
+    cells = assign_cells(e, cents, replicas=1)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
+        "cell int, c array<double>",
+    )
+    cells.select(
+        "vec_id", "cell",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ).join(F.broadcast(cdf), "cell").coalesce(1).write.mode("overwrite").parquet(
+        _GATE_SEMDEDUP_PATH
+    )
+    stored = spark.read.parquet(_GATE_SEMDEDUP_PATH)
+    out = semdedup_keep(stored, threshold=0.3)
+    return out.select(
+        "vec_id", "cluster_id", "cent_sim_q", F.col("keep").cast("int").alias("keep")
+    )
+
+
+SQL_SEMDEDUP = f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, cell, e,
+         CAST(ROUND(1e6 * list_dot_product(e, c)
+              / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(c, c))))
+              AS BIGINT) AS cent_sim_q
+  FROM read_parquet('{_GATE_SEMDEDUP_PATH}/*.parquet')
+),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        >= 0.3
+),
+sym AS (SELECT a AS u, b AS w FROM pairs UNION SELECT b, a FROM pairs),
+reach(u, w) AS (
+  SELECT u, w FROM sym
+  UNION
+  SELECT r.u, s.w FROM reach r JOIN sym s ON r.w = s.u WHERE s.w != r.u
+),
+comp AS (SELECT u AS vec_id, LEAST(u, MIN(w)) AS cluster_id FROM reach GROUP BY u),
+lab AS (
+  SELECT vv.vec_id, COALESCE(comp.cluster_id, vv.vec_id) AS cluster_id,
+         vv.cent_sim_q
+  FROM v vv LEFT JOIN comp ON comp.vec_id = vv.vec_id
+)
+SELECT vec_id, cluster_id, cent_sim_q,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY cluster_id ORDER BY cent_sim_q, vec_id
+       ) = 1 AS INT) AS keep
+FROM lab
+"""
+
+SPARK_QUERIES["semdedup"] = q_semdedup
+SQL_ORACLES["semdedup"] = SQL_SEMDEDUP
+
+
 def q_content_gap(spark, sf_dir):
     """content_gap_analysis job tail (crawl_service.py:1074-1101, AI call
     replaced by the relational coverage-gap rendering) over the same

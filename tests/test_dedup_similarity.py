@@ -357,3 +357,103 @@ def test_minhash_agree_kernels_identical(spark):
     }
     sig.unpersist()
     assert cat == np_ and len(cat) > 0
+
+
+def test_semdedup_keep_rule_golden(spark):
+    """SemDeDup keep-rule golden on a hand-built hard partition: one cell
+    holds a transitive duplicate chain (a~b, b~c but a!~c — components must
+    close it) plus an unpaired singleton; the keeper is the chain member
+    with the LOWEST centroid similarity. cent_sim_q values are checked
+    against hand-computed micro-unit cosines."""
+    import math
+
+    from link_profiler_repo_spark.operators.dedup import semdedup_keep
+
+    # centroid = x-axis; members at angles 10, 40, 70 degrees: cos(10,40) and
+    # cos(40,70) = cos(30deg) ~ .866 >= .8, cos(10,70) = cos(60deg) = .5 < .8
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    c = [1.0, 0.0]
+    rows = [
+        (1, 0, vec(10), c),
+        (2, 0, vec(40), c),
+        (3, 0, vec(70), c),   # lowest centroid similarity -> the keeper
+        (9, 1, vec(0), c),    # alone in its cell: keeps itself
+    ]
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, cell int, e array<double>, c array<double>"
+    )
+    out = {r["vec_id"]: r for r in semdedup_keep(df, threshold=0.8).collect()}
+    assert {v: out[v]["cluster_id"] for v in (1, 2, 3, 9)} == {1: 1, 2: 1, 3: 1, 9: 9}
+    assert {v: out[v]["keep"] for v in (1, 2, 3, 9)} == {
+        1: False, 2: False, 3: True, 9: True,
+    }
+    for v, deg in ((1, 10), (2, 40), (3, 70), (9, 0)):
+        assert out[v]["cent_sim_q"] == round(1e6 * math.cos(math.radians(deg)))
+
+
+def test_semdedup_end_to_end_python_twin(spark):
+    """semdedup (train + hard-assign + keep) equals a python twin that
+    re-derives assignment, within-cell pairs, transitive closure, and the
+    lowest-centroid-sim keep rule from the SAME trained centroids."""
+    import numpy as np
+
+    from link_profiler_repo_spark.operators.dedup import semdedup
+    from link_profiler_repo_spark.operators.similarity import train_centroids
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((6, 32)).astype("float32") * 4
+    rows = [
+        (i, (centers[i % 6] + rng.standard_normal(32).astype("float32") * 0.3).tolist())
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    cents = train_centroids(df, 6, n_rows=150)
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in semdedup(df, threshold=0.9, centroids=cents).collect()
+    }
+
+    X = np.array([r[1] for r in rows], dtype=np.float32)
+    ids = np.array([r[0] for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cell = np.argmax(Xn @ cents.T, axis=1)
+    Xd = X.astype(np.float64)
+    nrm = np.linalg.norm(Xd, axis=1)
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if cell[i] != cell[j]:
+                continue
+            cos = float(Xd[i] @ Xd[j]) / (nrm[i] * nrm[j])
+            if cos >= 0.9:
+                a, b = find(int(ids[i])), find(int(ids[j]))
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    cd = cents.astype(np.float64)
+    cn = np.linalg.norm(cd, axis=1)
+    simq = {
+        int(ids[i]): round(
+            1e6 * float(Xd[i] @ cd[cell[i]]) / (nrm[i] * cn[cell[i]])
+        )
+        for i in range(len(ids))
+    }
+    clusters = {}
+    for i in ids:
+        clusters.setdefault(find(int(i)), []).append(int(i))
+    expect = {}
+    for root, members in clusters.items():
+        keeper = min(members, key=lambda v: (simq[v], v))
+        for v in members:
+            expect[v] = (root, v == keeper)
+    assert got == expect
+    assert any(not k for (_, k) in got.values()), "fixture must have duplicates"
