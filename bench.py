@@ -76,6 +76,8 @@ HEADLINE = [
     "dsir_select",
     "exact_substr_dedup",
     "bm25_topk",
+    # r5 seventh-session addition (semantic dedup)
+    "semdedup",
 ]
 
 

@@ -74,7 +74,9 @@ def synth_pixels(ref: str) -> np.ndarray:
 
 def media_table_from_docs(docs: DataFrame) -> DataFrame:
     """Explode media spans into a media table with a deterministic synthetic
-    payload. Format picked by crc32(ref) % 5: every row carries a GENUINE
+    payload. Format picked by pmod(xxhash64(ref), 5) — the templated ref
+    strings cluster under crc32, leaving residue classes empty at small
+    fixtures; xxhash64 mixes them uniformly: every row carries a GENUINE
     encoded payload — png/gif/jpeg images of synth_pixels(ref)
     (functions/png.py / gif.py / jpeg.py), a PCM WAV of synth_samples(ref)
     (functions/wav.py), or a Y4M clip of synth_frames(ref)
@@ -114,7 +116,7 @@ def media_table_from_docs(docs: DataFrame) -> DataFrame:
     def y4m_payload(ref: pd.Series) -> pd.Series:
         return ref.map(lambda r: encode_y4m(synth_frames(r), VIDEO_FPS, 1))
 
-    fmt = F.crc32(F.col("media_ref")) % 5
+    fmt = F.pmod(F.xxhash64(F.col("media_ref")), F.lit(5))
     payload = (
         F.when(fmt == 0, png_payload(F.col("media_ref")))
         .when(fmt == 2, gif_payload(F.col("media_ref")))
