@@ -70,6 +70,12 @@ def main() -> None:
     ap.add_argument("--n-shards", type=int, default=0,
                     help="corpus_build: with --out, write the kept corpus as "
                          "N equal-token shard directories (shard=K/)")
+    ap.add_argument("--sem-embeddings", default=None,
+                    help="corpus_build: embeddings parquet (vec_id aligned "
+                         "with doc_id); runs SemDeDup and admits only "
+                         "semantic-keep docs")
+    ap.add_argument("--sem-threshold", type=float, default=0.85,
+                    help="corpus_build SemDeDup duplicate threshold (1-eps)")
     ap.add_argument("--out", default=None, help="report output path")
     args = ap.parse_args()
 
@@ -239,10 +245,18 @@ def main() -> None:
         # persist: write + count + sample otherwise re-run the full
         # filter->dedup->mixture->pack pipeline three times
         bench = spark.read.parquet(args.decontam_bench) if args.decontam_bench else None
+        sem_keep = None
+        if args.sem_embeddings:
+            from link_profiler_repo_spark.operators.dedup import semdedup
+
+            sem_keep = semdedup(
+                spark.read.parquet(args.sem_embeddings),
+                threshold=args.sem_threshold,
+            ).withColumnRenamed("vec_id", "doc_id")
         df = run_job(args.job_type, spark, read("documents"), targets=targets,
                      total_rows=args.total_rows, budget=args.token_budget,
                      redact_pii=args.redact_pii, bench=bench,
-                     decontam_n=args.decontam_n).persist()
+                     decontam_n=args.decontam_n, sem_keep=sem_keep).persist()
         if args.out:
             if args.n_shards > 0:
                 from link_profiler_repo_spark.operators.sampling import shard_corpus

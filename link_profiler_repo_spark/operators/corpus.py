@@ -38,6 +38,7 @@ def build_corpus(
     redact_pii: bool = False,
     bench: DataFrame | None = None,
     decontam_n: int = 8,
+    sem_keep: DataFrame | None = None,
 ) -> DataFrame:
     """docs(id, strata, text) → the kept corpus (id, strata, n_tokens,
     cum_tokens): quality-filtered, exact-deduped (one canonical doc per
@@ -52,7 +53,14 @@ def build_corpus(
     quality-passing doc sharing a decontam_n word-gram with the benchmark
     table (textops.decontaminate_filter; the anti-join runs after the
     quality filter so only surviving docs are gram-ified, but the two row
-    predicates commute so the kept set is order-independent)."""
+    predicates commute so the kept set is order-independent). sem_keep !=
+    None applies a SemDeDup verdict table (dedup.semdedup output: id, keep)
+    as a doc-admission filter — only docs with a keep=True verdict pass
+    (semdedup emits a verdict for every embedded doc, so an unlisted id
+    means no embedding: not admitted); the stage runs before exact dedup so
+    canonical minima are picked among semantic survivors, and is one
+    co-partitioned left-semi join on the id (the verdict table is at most
+    |corpus| rows and carries no text)."""
     if redact_pii:
         docs = docs.withColumn(text_col, textops.pii_redact(F.col(text_col)))
     t = F.col(text_col)
@@ -69,6 +77,10 @@ def build_corpus(
     if bench is not None:
         filtered = textops.decontaminate_filter(
             filtered, bench, n=decontam_n, text_col=text_col, id_col=id_col
+        )
+    if sem_keep is not None:
+        filtered = filtered.join(
+            sem_keep.filter(F.col("keep")).select(id_col), id_col, "left_semi"
         )
     h = filtered.select(F.md5(text_col).alias("h"), id_col)
     keepers = h.groupBy("h").agg(F.min(id_col).alias("a"))

@@ -2776,6 +2776,130 @@ SPARK_QUERIES["corpus_build"] = q_corpus_build
 SQL_ORACLES["corpus_build"] = SQL_CORPUS_BUILD
 
 
+_GATE_SEMCORP_PATH = f"/tmp/spark_graft_gate_semcorp_{os.getpid()}"
+
+
+def q_corpus_build_sem(spark, sf_dir):
+    """corpus_build with the SemDeDup stage composed in (build_corpus
+    sem_keep=): the semantic verdict table (dedup.semdedup over the aligned
+    embeddings) gates doc admission before the exact-dedup stage. Spark and
+    DuckDB each re-derive BOTH halves end-to-end — the hard-partition
+    export feeds DuckDB's recursive-CTE closure + ROW_NUMBER keep, whose
+    survivors filter the same corpus pipeline the corpus_build oracle
+    re-derives; only k-means training stays pytest-verified."""
+    from .operators.corpus import build_corpus
+    from .operators.dedup import semdedup_keep
+    from .operators.similarity import assign_cells, train_centroids
+
+    e = load(spark, sf_dir, "embeddings")
+    n_rows = e.count()
+    cents = train_centroids(e, max(4, int(n_rows ** 0.5)), n_rows=n_rows)
+    cells = assign_cells(e, cents, replicas=1)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
+        "cell int, c array<double>",
+    )
+    cells.select(
+        "vec_id", "cell",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ).join(F.broadcast(cdf), "cell").coalesce(1).write.mode("overwrite").parquet(
+        _GATE_SEMCORP_PATH
+    )
+    verdict = semdedup_keep(
+        spark.read.parquet(_GATE_SEMCORP_PATH), threshold=0.3
+    ).withColumnRenamed("vec_id", "doc_id")
+    return build_corpus(
+        load(spark, sf_dir, "documents"),
+        targets={"en": 0.6, "de": 0.2, "es": 0.2},
+        total_rows=150.0,
+        budget=3000,
+        sem_keep=verdict,
+    )
+
+
+SQL_CORPUS_BUILD_SEM = f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, cell, e,
+         CAST(ROUND(1e6 * list_dot_product(e, c)
+              / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(c, c))))
+              AS BIGINT) AS cent_sim_q
+  FROM read_parquet('{_GATE_SEMCORP_PATH}/*.parquet')
+),
+sd_pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        >= 0.3
+),
+sym AS (SELECT a AS u, b AS ww FROM sd_pairs UNION SELECT b, a FROM sd_pairs),
+reach(u, ww) AS (
+  SELECT u, ww FROM sym
+  UNION
+  SELECT r.u, s.ww FROM reach r JOIN sym s ON r.ww = s.u WHERE s.ww != r.u
+),
+comp AS (SELECT u AS vec_id, LEAST(u, MIN(ww)) AS cluster_id FROM reach GROUP BY u),
+semkeep AS (
+  SELECT vec_id FROM (
+    SELECT vv.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY COALESCE(comp.cluster_id, vv.vec_id)
+             ORDER BY vv.cent_sim_q, vv.vec_id
+           ) AS rn
+    FROM v vv LEFT JOIN comp ON comp.vec_id = vv.vec_id
+  ) WHERE rn = 1
+),
+w AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')), '\\s+'),
+                     x -> length(x) > 0) AS words
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, text, len(words) AS n_tokens,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+           / GREATEST(length(text), 1) AS praw,
+         len(list_filter(words, x -> x IN ({_SQL_CORPUS_BUILD_SW})))::DOUBLE
+           / GREATEST(len(words), 1) AS sraw
+  FROM w
+), f AS (
+  SELECT doc_id, lang, text, n_tokens FROM m
+  WHERE (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 4
+              WHEN n_tokens >= 5 THEN 2 ELSE 0 END
+       + CASE WHEN praw <= 0.2 THEN 3 ELSE 1 END
+       + CASE WHEN sraw >= 0.05 THEN 3 ELSE 1 END) >= 8
+    AND doc_id IN (SELECT vec_id FROM semkeep)
+), ded AS (
+  SELECT doc_id, lang, n_tokens FROM (
+    SELECT doc_id, lang, n_tokens,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS cl
+    FROM f) WHERE doc_id = cl
+), t(lang, tgt) AS (VALUES ('de', 0.2), ('en', 0.6), ('es', 0.2)),
+c AS (SELECT lang, COUNT(*) AS n FROM ded GROUP BY lang),
+r AS (SELECT c.lang, LEAST(1.0, 150.0 * t.tgt / c.n) AS rate
+      FROM c JOIN t ON c.lang = t.lang),
+mx AS (
+  SELECT d.doc_id, d.lang, d.n_tokens
+  FROM ded d JOIN r ON d.lang = r.lang
+  WHERE r.rate >= 1.0
+     OR (r.rate > 0.0
+         AND substr(md5('cb|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+             < printf('%08x', CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT)))
+), pk AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5('cbp|' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM mx
+)
+SELECT doc_id, lang, n_tokens, cum_tokens FROM pk WHERE cum_tokens <= 3000
+"""
+
+SPARK_QUERIES["corpus_build_sem"] = q_corpus_build_sem
+SQL_ORACLES["corpus_build_sem"] = SQL_CORPUS_BUILD_SEM
+
+
 def q_repetition_profile(spark, sf_dir):
     """Gopher-rule repetition filters (Rae et al. 2021 Table A1: duplicate
     -line fraction <= 0.30, top-bigram fraction <= 0.20) over documents plus

@@ -263,3 +263,36 @@ def test_c4_clean_python_twin(spark):
             n_sent,
         ), (i, text)
         assert r["clean_text"] == clean and r["c4_keep"] == keep, (i, text)
+
+
+def test_build_corpus_sem_keep_stage(spark):
+    """sem_keep composes as a doc-admission filter: docs whose SemDeDup
+    verdict is keep=False never reach the corpus, keep=True and unlisted
+    docs are unaffected, and the result equals build_corpus over the
+    pre-filtered doc set (the stage is exactly one semi-join)."""
+    import pyspark.sql.functions as F
+
+    from link_profiler_repo_spark.operators.corpus import build_corpus
+
+    filler = (
+        "the quick brown fox jumps over the lazy dog and runs to the barn "
+        "for it is warm in there today again"
+    )
+    docs = spark.createDataFrame(
+        [(i, "en", f"{filler} document number {i} speaks") for i in range(1, 7)],
+        schema="doc_id long, lang string, text string",
+    )
+    verdict = spark.createDataFrame(
+        [(1, True), (2, False), (3, True), (4, False)],  # 5,6 unlisted
+        schema="doc_id long, keep boolean",
+    )
+    kw = dict(targets={"en": 1.0}, total_rows=100.0, budget=10_000)
+    out = sorted(r["doc_id"] for r in build_corpus(docs, sem_keep=verdict, **kw).collect())
+    assert out == [1, 3]  # 2/4 sem-dropped; 5/6 unlisted -> also absent:
+    # the verdict table enumerates the embedded corpus; absence = no verdict
+    # row = not admitted (left-semi), matching semdedup's full-coverage output
+    twin = build_corpus(
+        docs.join(verdict.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"),
+        **kw,
+    )
+    assert sorted(r["doc_id"] for r in twin.collect()) == out
