@@ -389,6 +389,7 @@ def blocked_cosine_pairs(
     id_col: str = "vec_id",
     block_col: str = "label",
     threshold: float = 0.3,
+    keep_block: bool = False,
 ) -> DataFrame:
     """Exact cosine near-dup pairs within a blocking key — pure Catalyst
     (zip_with product + left-fold sum in double; no UDF). The exact tier of
@@ -413,9 +414,12 @@ def blocked_cosine_pairs(
         b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id"))
     )
     cos = dot(F.col("a.e"), F.col("b.e")) / (F.col("a.n") * F.col("b.n"))
-    return pairs.select(
-        F.col("a._id").alias("a"), F.col("b._id").alias("b"), cos.alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
+    cols = [
+        F.col("a._id").alias("a"), F.col("b._id").alias("b"), cos.alias("cosine"),
+    ]
+    if keep_block:  # callers that close the pair graph per block need the key
+        cols.append(F.col("a._blk").alias("block"))
+    return pairs.select(*cols).filter(F.col("cosine") >= threshold)
 
 
 def blocked_cosine_pairs_matmul(
@@ -424,6 +428,7 @@ def blocked_cosine_pairs_matmul(
     id_col: str = "vec_id",
     block_col: str = "cell",
     threshold: float = 0.8,
+    keep_block: bool = False,
 ) -> DataFrame:
     """BLAS tier of blocked_cosine_pairs: one dense X @ X.T per block inside
     an applyInPandas group (vectorized numpy — the FAISS-style within-cell
@@ -435,18 +440,22 @@ def blocked_cosine_pairs_matmul(
     tier safe at 100 TB in the first place."""
     import pandas as pd  # worker-side
 
-    out_schema = T.StructType(
-        [
-            T.StructField("a", T.LongType(), False),
-            T.StructField("b", T.LongType(), False),
-            T.StructField("cosine", T.DoubleType(), False),
-        ]
-    )
+    fields = [
+        T.StructField("a", T.LongType(), False),
+        T.StructField("b", T.LongType(), False),
+        T.StructField("cosine", T.DoubleType(), False),
+    ]
+    if keep_block:
+        fields.append(T.StructField("block", df.schema[block_col].dataType, True))
+    out_schema = T.StructType(fields)
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
+        empty = {"a": [], "b": [], "cosine": []}
+        if keep_block:
+            empty["block"] = []
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+            return pd.DataFrame(empty).astype(
                 {"a": "int64", "b": "int64", "cosine": "float64"}
             )
         X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -455,13 +464,14 @@ def blocked_cosine_pairs_matmul(
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = C[iu, ju] >= threshold
         ai, bi = ids[iu[keep]], ids[ju[keep]]
-        return pd.DataFrame(
-            {
-                "a": np.minimum(ai, bi),
-                "b": np.maximum(ai, bi),
-                "cosine": C[iu, ju][keep],
-            }
-        )
+        out = {
+            "a": np.minimum(ai, bi),
+            "b": np.maximum(ai, bi),
+            "cosine": C[iu, ju][keep],
+        }
+        if keep_block:
+            out["block"] = np.repeat(pdf["_blk"].iloc[0], len(ai))
+        return pd.DataFrame(out)
 
     return df.select(
         F.col(id_col), F.col(vec_col), F.col(block_col).alias("_blk")
@@ -518,6 +528,7 @@ def semdedup_keep(
     vec_col: str = "e",
     cent_col: str = "c",
     block_col: str = "cell",
+    kernel: str = "catalyst",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup over
     embeddings: k-means partitions the corpus, duplicates are within-cell
@@ -529,13 +540,20 @@ def semdedup_keep(
     vector); `semdedup` composes the training/assignment in front.
 
     Scale shape: the pair join is quadratic only within cells (the same
-    blocked_cosine_pairs tier the ivf dedup uses), duplicate groups close
-    transitively via star-contraction components (O(log²) keyed-agg
-    rounds), and the keep rule is one groupBy(cluster) min-struct agg + a
-    join back — no window over the corpus, no driver collect. Centroid
-    similarity is quantized to integer micro-units (round(1e6·cos)) so the
-    argmin is engine-exact. Returns (id, cluster_id, cent_sim_q, keep)."""
-    from .components import connected_components
+    blocked_cosine_pairs tier the ivf dedup uses); duplicate groups close
+    transitively with a PER-CELL single-pass union-find (one shuffle on the
+    cell key — pairs never straddle cells under a hard partition, so the
+    global O(log²)-round star-contraction is pure overhead here; per-task
+    state is bounded by one cell's pair list, the same (N/nlist)² bound
+    that makes the blocked join safe); the keep rule is one
+    groupBy(cluster) min-struct agg + a join back — no window over the
+    corpus, no driver collect. Centroid similarity is quantized to integer
+    micro-units (round(1e6·cos)) so the argmin is engine-exact. Ids must be
+    integral. kernel='catalyst' (default) computes pair cosines with the
+    bit-exact sequential folds the gate oracles; 'matmul' runs one BLAS
+    X@X.T per cell (same pair set to fp rounding at the threshold boundary
+    — the throughput tier, same contract as ivf_blocked_cosine_pairs).
+    Returns (id, cluster_id, cent_sim_q, keep)."""
 
     def dot(x, y):
         return F.aggregate(
@@ -552,12 +570,46 @@ def semdedup_keep(
         e.alias("_e"),
         cent_sim_q.alias("cent_sim_q"),
     )
-    pairs = blocked_cosine_pairs(
-        base, vec_col="_e", id_col=id_col, block_col=block_col, threshold=threshold
-    ).select("a", "b")
-    comp = connected_components(pairs, a_col="a", b_col="b").withColumnRenamed(
-        "node", id_col
+    pair_fn = (
+        blocked_cosine_pairs_matmul if kernel == "matmul" else blocked_cosine_pairs
     )
+    pairs = pair_fn(
+        base, vec_col="_e", id_col=id_col, block_col=block_col,
+        threshold=threshold, keep_block=True,
+    ).select("a", "b", "block")
+
+    comp_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("component", T.LongType(), False),
+        ]
+    )
+
+    def _close_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["a"], pdf["b"]):
+            a, b = int(a), int(b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        members: dict[int, list[int]] = {}
+        for x in parent:
+            members.setdefault(find(x), []).append(x)
+        out = [(x, min(ms)) for ms in members.values() for x in ms]
+        return pd.DataFrame(out, columns=[id_col, "component"])
+
+    comp = pairs.groupBy("block").applyInPandas(_close_cell, schema=comp_schema)
     lab = (
         base.join(comp, id_col, "left")
         .withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
@@ -581,6 +633,7 @@ def semdedup(
     centroids: "np.ndarray | None" = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    kernel: str = "catalyst",
 ) -> DataFrame:
     """SemDeDup end to end: train spherical k-means (sampled, driver-bounded
     — similarity.train_centroids), hard-assign every vector to its nearest
@@ -608,7 +661,7 @@ def semdedup(
     ).join(F.broadcast(cdf), "cell")
     return semdedup_keep(
         stored, threshold=threshold, id_col=id_col,
-        vec_col="e", cent_col="c", block_col="cell",
+        vec_col="e", cent_col="c", block_col="cell", kernel=kernel,
     )
 
 

@@ -457,3 +457,32 @@ def test_semdedup_end_to_end_python_twin(spark):
             expect[v] = (root, v == keeper)
     assert got == expect
     assert any(not k for (_, k) in got.values()), "fixture must have duplicates"
+
+
+def test_semdedup_matmul_kernel_equals_catalyst(spark):
+    """semdedup's matmul throughput tier produces the identical verdict
+    table as the catalyst (oracle-exact) tier on a clustered corpus, and
+    measures the same pair set via keep_block on both kernels."""
+    import numpy as np
+
+    from link_profiler_repo_spark.operators.dedup import semdedup
+    from link_profiler_repo_spark.operators.similarity import train_centroids
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((5, 32)).astype("float32") * 4
+    rows = [
+        (i, (centers[i % 5] + rng.standard_normal(32).astype("float32") * 0.3).tolist())
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    cents = train_centroids(df, 5, n_rows=200)
+    cat = {
+        r["vec_id"]: (r["cluster_id"], r["cent_sim_q"], r["keep"])
+        for r in semdedup(df, threshold=0.9, centroids=cents).collect()
+    }
+    mm = {
+        r["vec_id"]: (r["cluster_id"], r["cent_sim_q"], r["keep"])
+        for r in semdedup(df, threshold=0.9, centroids=cents, kernel="matmul").collect()
+    }
+    assert cat == mm
+    assert any(not k for (_, _, k) in cat.values())
