@@ -2900,6 +2900,72 @@ SPARK_QUERIES["corpus_build_sem"] = q_corpus_build_sem
 SQL_ORACLES["corpus_build_sem"] = SQL_CORPUS_BUILD_SEM
 
 
+_GATE_BPE_TRAIN_PATH = f"/tmp/spark_graft_gate_bpe_train_{os.getpid()}"
+_GATE_BPE_ENC_PATH = f"/tmp/spark_graft_gate_bpe_enc_{os.getpid()}"
+
+
+def q_bpe_train(spark, sf_dir):
+    """In-engine BPE tokenizer training (operators/bpe.py), hash-gated
+    against the zero-Spark python twin (the oracle_sim exported-table
+    pattern: the twin's merge table is exported to parquet for the DuckDB
+    side — Counter-based, shares only the greedy-leftmost apply rule). The
+    twin collects the raw texts to the driver, which is what makes it a
+    gate-scale-only oracle; the engine side never does (the k-round loop
+    sees one argmax row per round)."""
+    from .operators.bpe import bpe_train, py_bpe_train
+
+    d = load(spark, sf_dir, "documents")
+    merges = bpe_train(d, num_merges=20)
+    texts = [r["text"] for r in d.select("text").collect()]
+    spark.createDataFrame(
+        py_bpe_train(texts, num_merges=20),
+        "step int, left string, right string, merged string, pair_freq bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(_GATE_BPE_TRAIN_PATH)
+    return merges
+
+
+SQL_BPE_TRAIN = f"""
+SELECT step, "left", "right", merged, pair_freq
+FROM read_parquet('{_GATE_BPE_TRAIN_PATH}/*.parquet')
+"""
+
+SPARK_QUERIES["bpe_train"] = q_bpe_train
+SQL_ORACLES["bpe_train"] = SQL_BPE_TRAIN
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE encoding with merges learned in-query (10 rounds), hash-gated
+    against the python twin's per-doc (n_words, n_bpe_tokens, segmented)
+    table — twin tokenization, merge application, and the segmented
+    rendering are all re-derived in pure python over the same texts."""
+    from .operators.bpe import bpe_encode, bpe_train, py_bpe_encode
+
+    d = load(spark, sf_dir, "documents")
+    merges = bpe_train(d, num_merges=10)
+    ml = [
+        (r["left"], r["right"])
+        for r in merges.orderBy("step").select("left", "right").collect()
+    ]
+    texts = {r["doc_id"]: r["text"] for r in d.select("doc_id", "text").collect()}
+    twin = [
+        (did, n_w, n_t, seg)
+        for did, (n_w, n_t, seg) in py_bpe_encode(texts, ml).items()
+    ]
+    spark.createDataFrame(
+        twin, "doc_id long, n_words int, n_bpe_tokens int, segmented string"
+    ).coalesce(1).write.mode("overwrite").parquet(_GATE_BPE_ENC_PATH)
+    return bpe_encode(d, merges)
+
+
+SQL_BPE_ENCODE = f"""
+SELECT doc_id, n_words, n_bpe_tokens, segmented
+FROM read_parquet('{_GATE_BPE_ENC_PATH}/*.parquet')
+"""
+
+SPARK_QUERIES["bpe_encode"] = q_bpe_encode
+SQL_ORACLES["bpe_encode"] = SQL_BPE_ENCODE
+
+
 def q_repetition_profile(spark, sf_dir):
     """Gopher-rule repetition filters (Rae et al. 2021 Table A1: duplicate
     -line fraction <= 0.30, top-bigram fraction <= 0.20) over documents plus
