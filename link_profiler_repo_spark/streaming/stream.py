@@ -12,6 +12,10 @@ continuous-pipeline semantics that DO map naturally:
   job_coordinator.py:139).
 - host_state_stream: per-host circuit-breaker-style stateful tracking
   (utils/distributed_circuit_breaker.py:22-118) via applyInPandasWithState.
+- dedup_stream: streaming exact dedup on the content key via
+  dropDuplicatesWithinWatermark — the URL/content-seen set's continuous
+  rendering (state bounded by the watermark horizon instead of the batch
+  engine's unbounded seen table).
 """
 
 from __future__ import annotations
@@ -122,6 +126,54 @@ HOST_STATE_OUTPUT = T.StructType(
 HOST_STATE = T.StructType([T.StructField("failures", T.IntegerType(), False)])
 
 FAILURE_THRESHOLD = 5  # distributed_circuit_breaker.py default
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key_col: str = "content_hash",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: first event per content key survives,
+    duplicates arriving within the watermark horizon drop
+    (dropDuplicatesWithinWatermark — per-key state EXPIRES once the
+    watermark passes, so state size is O(keys per horizon), not O(all
+    history); the batch engine's exact seen-table is the unbounded twin).
+    At scale the dedup state is hash-partitioned on the key by the engine;
+    the operator adds no extra shuffle beyond that implicit exchange."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [key_col]
+    )
+
+
+def run_dedup_stream_to_parquet(
+    spark,
+    path: str,
+    schema: T.StructType,
+    out_path: str,
+    checkpoint: str,
+    key_col: str = "content_hash",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+):
+    """Scale-shaped driver for dedup_stream: append-mode foreachBatch sink
+    to parquet (survivors only), checkpoint-resumable; per batch the sink
+    writes O(new unique keys). Returns the survivor DataFrame read back."""
+    src = spark.readStream.schema(schema).parquet(path)
+    kept = dedup_stream(src, key_col=key_col, ts_col=ts_col, watermark=watermark)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    q = (
+        kept.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(out_path)
 
 
 def host_state_stream(events: DataFrame) -> DataFrame:

@@ -244,3 +244,43 @@ def test_metrics_stream_foreachbatch_parquet_matches_memory(spark, tmp_path):
         for r in rows
     }
     assert as_set(pq) == as_set(mem) and len(pq) > 0
+
+
+def test_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) keeps exactly
+    one row per content key across micro-batches — the same survivor SET as
+    batch dropDuplicates over the full log (first-arrival within a batch is
+    engine-order-dependent, so equality is on the key set + counts)."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from link_profiler_repo_spark.streaming.stream import run_dedup_stream_to_parquet
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("content_hash", T.StringType()),
+            T.StructField("url", T.StringType()),
+        ]
+    )
+    rows = [
+        ("2024-01-01 00:00:01", "h1", "u1"),
+        ("2024-01-01 00:00:02", "h2", "u2"),
+        ("2024-01-01 00:00:03", "h1", "u1-dup"),
+        ("2024-01-01 00:00:04", "h3", "u3"),
+        ("2024-01-01 00:00:05", "h2", "u2-dup"),
+        ("2024-01-01 00:00:06", "h1", "u1-dup2"),
+    ]
+    src = spark.createDataFrame(rows, "ts string, content_hash string, url string").select(
+        F.to_timestamp("ts").alias("ts"), "content_hash", "url"
+    )
+    in_path = str(tmp_path / "in")
+    src.write.parquet(in_path)
+    got = run_dedup_stream_to_parquet(
+        spark, in_path, schema,
+        out_path=str(tmp_path / "out"), checkpoint=str(tmp_path / "ck"),
+    )
+    kept = got.collect()
+    assert sorted(r["content_hash"] for r in kept) == ["h1", "h2", "h3"]
+    batch_keys = {r["content_hash"] for r in src.dropDuplicates(["content_hash"]).collect()}
+    assert {r["content_hash"] for r in kept} == batch_keys
