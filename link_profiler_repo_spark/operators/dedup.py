@@ -521,6 +521,61 @@ def ivf_blocked_cosine_pairs(
     return pairs.groupBy("a", "b").agg(F.max("cosine").alias("cosine"))
 
 
+def _per_block_closure(
+    base: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    kernel: str = "catalyst",
+) -> DataFrame:
+    """(id, block, vec) -> (id, component) for ids in some >=threshold
+    cosine pair: the within-block pair join (catalyst or matmul kernel)
+    closed transitively by a per-block single-pass union-find (pairs never
+    straddle blocks, so no iterative global rounds are needed; per-task
+    state is bounded by one block's pair list). component = min member."""
+    pair_fn = (
+        blocked_cosine_pairs_matmul if kernel == "matmul" else blocked_cosine_pairs
+    )
+    pairs = pair_fn(
+        base, vec_col=vec_col, id_col=id_col, block_col=block_col,
+        threshold=threshold, keep_block=True,
+    ).select("a", "b", "block")
+
+    comp_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("component", T.LongType(), False),
+        ]
+    )
+
+    def _close_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["a"], pdf["b"]):
+            a, b = int(a), int(b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        members: dict[int, list[int]] = {}
+        for x in parent:
+            members.setdefault(find(x), []).append(x)
+        out = [(x, min(ms)) for ms in members.values() for x in ms]
+        return pd.DataFrame(out, columns=[id_col, "component"])
+
+    return pairs.groupBy("block").applyInPandas(_close_cell, schema=comp_schema)
+
+
 def semdedup_keep(
     cells: DataFrame,
     threshold: float = 0.8,
@@ -564,56 +619,26 @@ def semdedup_keep(
     cent_sim_q = F.round(
         F.lit(1e6) * dot(e, c) / (F.sqrt(dot(e, e)) * F.sqrt(dot(c, c)))
     ).cast("long")
+    # materialize once: both sides of the pair self-join AND the label join
+    # read base — without the checkpoint the upstream lineage (typically the
+    # cell-assignment UDF) re-evaluates per branch
     base = cells.select(
         F.col(id_col),
         F.col(block_col),
         e.alias("_e"),
         cent_sim_q.alias("cent_sim_q"),
+    ).localCheckpoint(eager=True)
+    comp = _per_block_closure(
+        base, threshold=threshold, id_col=id_col, vec_col="_e",
+        block_col=block_col, kernel=kernel,
     )
-    pair_fn = (
-        blocked_cosine_pairs_matmul if kernel == "matmul" else blocked_cosine_pairs
-    )
-    pairs = pair_fn(
-        base, vec_col="_e", id_col=id_col, block_col=block_col,
-        threshold=threshold, keep_block=True,
-    ).select("a", "b", "block")
-
-    comp_schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType(), False),
-            T.StructField("component", T.LongType(), False),
-        ]
-    )
-
-    def _close_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for a, b in zip(pdf["a"], pdf["b"]):
-            a, b = int(a), int(b)
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        members: dict[int, list[int]] = {}
-        for x in parent:
-            members.setdefault(find(x), []).append(x)
-        out = [(x, min(ms)) for ms in members.values() for x in ms]
-        return pd.DataFrame(out, columns=[id_col, "component"])
-
-    comp = pairs.groupBy("block").applyInPandas(_close_cell, schema=comp_schema)
+    # slim (id, cluster, sim) table consumed by two branches (keeper agg +
+    # final join) — checkpoint so the pair join and closure run ONCE
     lab = (
         base.join(comp, id_col, "left")
         .withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
         .select(id_col, "cluster_id", "cent_sim_q")
+        .localCheckpoint(eager=True)
     )
     keeper = lab.groupBy("cluster_id").agg(
         F.min(F.struct("cent_sim_q", id_col)).alias("m")

@@ -486,3 +486,50 @@ def test_semdedup_matmul_kernel_equals_catalyst(spark):
     }
     assert cat == mm
     assert any(not k for (_, _, k) in cat.values())
+
+
+def test_semdedup_plan_per_cell_join_single_closure(spark):
+    """Plan lock for semdedup: (1) the closure pipeline's pair self-join is
+    an equi-join on the cell key (never cartesian/nested-loop) feeding ONE
+    FlatMapGroupsInPandas union-find over that key — no iterative
+    star-contraction rounds; (2) the composed operator's final plan reads
+    the checkpointed label table (pair join + closure run once) and plans
+    the keep rule as a min-struct aggregate, not a window over the corpus."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from link_profiler_repo_spark.operators.dedup import (
+        _per_block_closure,
+        semdedup,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, int(i % 6), rng.standard_normal(32).astype("float64").tolist())
+        for i in range(64)
+    ]
+    base = spark.createDataFrame(rows, schema="vec_id long, cell int, e array<double>")
+    closure_plan = _per_block_closure(
+        base, threshold=0.5, id_col="vec_id", vec_col="e", block_col="cell"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in closure_plan
+    assert "BroadcastNestedLoopJoin" not in closure_plan
+    joins = [ln for ln in closure_plan.splitlines() if "Join" in ln and "_blk" in ln]
+    assert joins, f"no cell-keyed pair equi-join:\n{closure_plan[:2000]}"
+    closures = [
+        ln for ln in closure_plan.splitlines() if "FlatMapGroupsInPandas" in ln
+    ]
+    assert len(closures) == 1, closures
+
+    cents = np.eye(6, 32, dtype="float32")
+    df = base.select("vec_id", F.col("e").cast("array<float>").alias("embedding"))
+    final_plan = semdedup(
+        df, threshold=0.5, centroids=cents
+    )._jdf.queryExecution().executedPlan().toString()
+    # lineage severed at the label checkpoint: the final plan scans the
+    # materialized RDD instead of re-running the pair join + closure
+    assert "Scan ExistingRDD" in final_plan
+    assert "FlatMapGroupsInPandas" not in final_plan
+    assert "min(struct(cent_sim_q" in final_plan
+    assert "Window" not in final_plan
+    assert "CartesianProduct" not in final_plan
