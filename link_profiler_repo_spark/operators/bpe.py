@@ -81,6 +81,26 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _pair_argmax(state: DataFrame) -> DataFrame:
+    """One training round's distributed half: adjacent-pair counts over the
+    (freq, syms) vocabulary state, argmax-of-one. Plans as partial_sum →
+    one exchange on the pair key → TakeOrderedAndProject(limit=1) — the
+    driver receives a single row, never the counted pairs."""
+    adj = F.zip_with(
+        F.slice("syms", 1, F.size("syms") - 1),
+        F.slice("syms", 2, F.size("syms") - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        state.filter(F.size("syms") >= 2)
+        .select("freq", F.explode(adj).alias("p"))
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+        .limit(1)
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     num_merges: int = 20,
@@ -109,20 +129,7 @@ def bpe_train(
 
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, num_merges + 1):
-        adj = F.zip_with(
-            F.slice("syms", 1, F.size("syms") - 1),
-            F.slice("syms", 2, F.size("syms") - 1),
-            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-        )
-        best = (
-            state.filter(F.size("syms") >= 2)
-            .select("freq", F.explode(adj).alias("p"))
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .collect()
-        )
+        best = _pair_argmax(state).collect()
         if not best:  # every word fully merged: nothing left to learn
             break
         left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])

@@ -77,3 +77,25 @@ def test_bpe_encode_matches_twin_and_counts(spark):
     # 'the' (freq 3 here) should have merged below its 4-symbol char form
     the_toks = _encode_word("the", ml)
     assert len(the_toks) < 4
+
+
+def test_bpe_round_plan_lock(spark):
+    """Plan lock for the training round: map-side partial_sum combine, one
+    exchange on the pair key, TakeOrderedAndProject(limit=1) — never a
+    global sort, never the pair table to the driver."""
+    from link_profiler_repo_spark.operators.bpe import EOW, _pair_argmax, word_counts
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower lowest")], schema="doc_id long, text string"
+    )
+    chars = F.transform(
+        F.sequence(F.lit(0), F.length("word") - 1),
+        lambda i: F.col("word").substr(i + 1, F.lit(1)),
+    )
+    state = word_counts(docs).select(
+        "freq", F.concat(chars, F.array(F.lit(EOW))).alias("syms")
+    )
+    plan = _pair_argmax(state)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject(limit=1" in plan
+    assert "partial_sum" in plan
+    assert "Sort " not in plan  # no global sort node — the limit is pushed
