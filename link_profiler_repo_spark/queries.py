@@ -30,8 +30,35 @@ _TABLES = (
 ).split()
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# Tables whose queries are dominated by CPU-heavy narrow projections
+# (tokenize/regex/gram/vector math). At harness scale each is ONE parquet row
+# group, so the scan yields a single task and the whole string/vector pipeline
+# serializes on one core regardless of cluster size — measured 9-13s for
+# decontaminate at sf0.1 with 31 cores idle. The fix is a small-scan fan-out:
+# an explicit-N round-robin exchange (explicit N so AQE's coalescer keeps it)
+# costing one pass over the table bytes (~600 KB here) that unlocks full-width
+# CPU. At 100 TB the scan has thousands of row-group splits, the partition
+# count exceeds defaultParallelism, and the branch never fires — this is a
+# local-small-file correction, not a scale-path exchange.
+_FANOUT_TABLES = {"documents", "embeddings"}
+
+
+def load(
+    spark: SparkSession, sf_dir: str, name: str, fanout: bool | None = None
+) -> DataFrame:
+    """fanout=None applies the table default (_FANOUT_TABLES); queries whose
+    plan re-reads the scan lineage many times (k-means training loops,
+    train+score twin branches) pass fanout=False — each re-read re-pays the
+    round-robin exchange (ReusedExchange does not fire across AQE subqueries),
+    measured 2.4x slower for semdedup."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if fanout is None:
+        fanout = name in _FANOUT_TABLES
+    if fanout:
+        p = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < p:
+            df = df.repartition(p)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -1340,7 +1367,7 @@ def q_ivf_topk(spark, sf_dir):
         train_centroids,
     )
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", fanout=False)
     corpus = e.filter(F.col("vec_id") >= 5)
     n_rows = corpus.count()
     nlist = max(4, int(n_rows ** 0.5))
@@ -1546,7 +1573,7 @@ def q_ivf_blocked_pairs(spark, sf_dir):
     from .operators.dedup import blocked_cosine_pairs
     from .operators.similarity import assign_cells, train_centroids
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", fanout=False)
     n_rows = e.count()
     cents = train_centroids(e, max(4, int(n_rows ** 0.5)), n_rows=n_rows)
     cells = assign_cells(e, cents, replicas=2).select(
@@ -1595,7 +1622,7 @@ def q_semdedup(spark, sf_dir):
     from .operators.dedup import semdedup_keep
     from .operators.similarity import assign_cells, train_centroids
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", fanout=False)
     n_rows = e.count()
     cents = train_centroids(e, max(4, int(n_rows ** 0.5)), n_rows=n_rows)
     cells = assign_cells(e, cents, replicas=1)
@@ -2791,7 +2818,7 @@ def q_corpus_build_sem(spark, sf_dir):
     from .operators.dedup import semdedup_keep
     from .operators.similarity import assign_cells, train_centroids
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", fanout=False)
     n_rows = e.count()
     cents = train_centroids(e, max(4, int(n_rows ** 0.5)), n_rows=n_rows)
     cells = assign_cells(e, cents, replicas=1)
@@ -4113,7 +4140,7 @@ SQL_ORACLES["warc_cdx_index"] = SQL_WARC_CDX_INDEX
 
 
 def q_quality_classifier(spark, sf_dir):
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load(spark, sf_dir, "documents", fanout=False).select("doc_id", "text")
     i = F.col("id")
     grafts = spark.range(1).select(
         (i + 60_000_000).alias("doc_id"),
@@ -4214,7 +4241,7 @@ SQL_ORACLES["quality_classifier"] = SQL_QUALITY_CLASSIFIER
 def q_paragraph_dedup(spark, sf_dir):
     from .operators.textops import paragraph_dedup
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load(spark, sf_dir, "documents", fanout=False).select("doc_id", "text")
     i = F.col("id")
     s = i.cast("string")
     grafts = spark.range(25).select(

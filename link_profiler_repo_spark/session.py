@@ -36,6 +36,19 @@ _BASE_CONF = {
     # <= 1 file (singleFilePartitions guard), so multi-file delta tables keep
     # their explicit Sort.
     "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
+    # InferFiltersFromGenerate synthesizes `size(arr)>0 AND isnotnull(arr)`
+    # from every explode(), and predicate pushdown then drags that filter
+    # below exchanges/projections, INLINING the generator-input expression
+    # tree into upstream stages. For the text family the generator input is
+    # the full tokenize→n-gram tree, so the rule evaluates it two extra
+    # times per row inside the (often single-task) scan stage — measured
+    # 9.5s of 12.9s for decontaminate at sf0.1. explode(outer=false)
+    # already emits nothing for empty/NULL arrays, so excluding the rule
+    # changes no results; it only stops the duplicated evaluation. Same
+    # waste exists at 100 TB (2x the most expensive expression per scanned
+    # row), so this is a scale fix, not a local workaround.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # oracle comparisons (DuckDB) are UTC-naive; pin the session TZ
     "spark.sql.session.timeZone": "UTC",
