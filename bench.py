@@ -183,17 +183,22 @@ DEDUP_REP = int(os.environ.get("BENCH_DEDUP_REP", "16"))
 # the small corpus for the marginal (Δdocs/Δtime) measurement — see
 # _dedup_throughput_inprocess
 DEDUP_REP_SMALL = max(DEDUP_REP // 4, 1)
+# the ivf op gets a 4x larger vector corpus: at x16 (32k vectors) its full
+# walls were ~2s against ~1s of per-invocation constants, so the marginal Δ
+# between corpus sizes was noise-sized and the published scaling ratio
+# measured the noise (0.27 in the 22:11 session), not the operator. At x64
+# (128k vectors) the per-cell matmul work dominates both timed runs.
+DEDUP_REP_IVF = int(os.environ.get("BENCH_DEDUP_REP_IVF", "64"))
+DEDUP_REP_IVF_SMALL = max(DEDUP_REP_IVF // 4, 1)
 
 
-def ensure_dedup_input(spark, rep: int = DEDUP_REP) -> tuple[str, str]:
-    """Materialize the dedup/ANN bench corpus ONCE (reused across
+def ensure_dedup_docs(spark, rep: int = DEDUP_REP) -> str:
+    """Materialize the text-dedup bench corpus ONCE (reused across
     parallelism levels so both read identical bytes): the sf documents table
     replicated `rep` x with a per-replica text suffix (replicas are
     NEAR-duplicates — the workload LSH is built for, not degenerate exact
-    copies), and the embeddings table replicated with a small per-replica
-    additive shift."""
+    copies)."""
     ddir = os.path.join(DEDUP_PQ, f"docs_x{rep}")
-    edir = os.path.join(DEDUP_PQ, f"emb_x{rep}")
     if not os.path.isdir(ddir):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         r = spark.range(rep).select(F.col("id").alias("rep"))
@@ -207,6 +212,14 @@ def ensure_dedup_input(spark, rep: int = DEDUP_REP) -> tuple[str, str]:
             .write.mode("overwrite")
             .parquet(ddir)
         )
+    return ddir
+
+
+def ensure_dedup_emb(spark, rep: int = DEDUP_REP_IVF) -> str:
+    """Materialize the vector-dedup bench corpus ONCE: the sf embeddings
+    table replicated `rep` x with a small per-replica additive shift (near
+    duplicates within each base-vector group)."""
+    edir = os.path.join(DEDUP_PQ, f"emb_x{rep}")
     if not os.path.isdir(edir):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         r = spark.range(rep).select(F.col("id").alias("rep"))
@@ -222,7 +235,7 @@ def ensure_dedup_input(spark, rep: int = DEDUP_REP) -> tuple[str, str]:
             .write.mode("overwrite")
             .parquet(edir)
         )
-    return ddir, edir
+    return edir
 
 
 GRAPH_PQ = os.environ.get("BENCH_GRAPH_PQ", "/dev/shm/bench_graph_input")
@@ -355,7 +368,9 @@ def _dedup_throughput_inprocess(cores: int) -> dict:
     cosine pairs, each forced by a count over the materialized corpus.
 
     Two timed corpus sizes per op (x{DEDUP_REP_SMALL} and x{DEDUP_REP}
-    replicas) after an untimed per-op warmup slice. The headline per-op
+    replicas for the text ops; x{DEDUP_REP_IVF_SMALL} and x{DEDUP_REP_IVF}
+    for ivf, whose per-vector work is too light at x16 for the Δ to clear
+    noise) after an untimed per-op warmup slice. The headline per-op
     number is MARGINAL throughput Δdocs/Δwall between the two sizes: the
     per-invocation constants this sandbox cannot shrink (Python-UDF worker
     spin-up, k-means driver training, per-job scheduling) appear identically
@@ -374,8 +389,10 @@ def _dedup_throughput_inprocess(cores: int) -> dict:
     spark = get_spark(
         app=f"dedup-bench-{cores}", cores=cores, shuffle_partitions=cores * 2
     )
-    ddir, edir = ensure_dedup_input(spark)
-    dsdir, esdir = ensure_dedup_input(spark, DEDUP_REP_SMALL)
+    ddir = ensure_dedup_docs(spark, DEDUP_REP)
+    dsdir = ensure_dedup_docs(spark, DEDUP_REP_SMALL)
+    edir = ensure_dedup_emb(spark, DEDUP_REP_IVF)
+    esdir = ensure_dedup_emb(spark, DEDUP_REP_IVF_SMALL)
     docs, docs_s = spark.read.parquet(ddir), spark.read.parquet(dsdir)
     emb, emb_s = spark.read.parquet(edir), spark.read.parquet(esdir)
     n_docs, n_docs_s = docs.count(), docs_s.count()
@@ -873,7 +890,12 @@ def main() -> None:
     # materialize the frontier-kernel input on the full machine so the pinned
     # 1-core subprocess doesn't pay generation cost
     ensure_frontier_input(spark)
-    ensure_dedup_input(spark)
+    # pre-materialize all four dedup corpora on the full machine so the
+    # first pinned low-core subprocess doesn't pay generation cost
+    ensure_dedup_docs(spark, DEDUP_REP)
+    ensure_dedup_docs(spark, DEDUP_REP_SMALL)
+    ensure_dedup_emb(spark, DEDUP_REP_IVF)
+    ensure_dedup_emb(spark, DEDUP_REP_IVF_SMALL)
     ensure_graph_input(spark)
     ensure_graph_input(spark, GRAPH_EDGES_SMALL)
     spark.stop()
@@ -1201,7 +1223,9 @@ def main() -> None:
             f"Corpus: sf{sf} documents x{DEDUP_REP} near-duplicate replicas "
             f"({dedup['hi']['n_docs']:,} docs; marginal baseline "
             f"x{DEDUP_REP_SMALL} = {dedup['hi']['n_docs_small']:,}), "
-            f"embeddings x{DEDUP_REP} ({dedup['hi']['n_vecs']:,} vectors); "
+            f"embeddings x{DEDUP_REP_IVF} ({dedup['hi']['n_vecs']:,} vectors; "
+            f"marginal baseline x{DEDUP_REP_IVF_SMALL} = "
+            f"{dedup['hi']['n_vecs_small']:,}); "
             "fresh subprocess per run, interleaved lo/hi rounds, best-of "
             "(quietest total wall) per level.\n\n"
             "Headline per-op number = MARGINAL throughput Δdocs/Δwall "
