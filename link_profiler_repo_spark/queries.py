@@ -1460,6 +1460,117 @@ SPARK_QUERIES["media_meta"] = q_media_meta
 SQL_ORACLES["media_meta"] = SQL_MEDIA_META
 
 
+_GATE_MEDIA_DECODE_PATH = f"/tmp/spark_graft_gate_media_decode_{os.getpid()}"
+_GATE_MEDIA_WAV_TWIN_PATH = f"/tmp/spark_graft_gate_media_wavtwin_{os.getpid()}"
+
+
+def q_media_decode(spark, sf_dir):
+    """The DECODE half of media analysis under the hard gate — possible now
+    that every lossless codec is real (functions/{png,gif,wav,y4m}.py):
+    `extract_features`' decoded feature bytes are a pure function of the
+    media_ref's sha256 ground-truth stream, which DuckDB re-derives with its
+    OWN sha256 — the oracle touches none of the engine's codec code, so a
+    bug anywhere in encode OR decode (filters, LZW, plane layout) breaks
+    equality. png/gif pixels and y4m frames are re-derived in pure SQL
+    (hex-pair -> byte over sha256(ref||'|0') / sha256(ref||'|f0|0')); wav
+    PCM needs sin(), so its expected low bytes come from a zero-Spark python
+    twin exported to parquet (the bpe_train pattern — the twin shares only
+    the synth_samples ground-truth definition, never the RIFF codec). Only
+    the LOSSY jpeg DCT tier stays outside the gate (its decoded pixels are
+    not ground-truth-equal by design; codec-pinned PSNR/determinism bounds
+    live in tests/test_jpeg.py)."""
+    import numpy as np
+
+    from .functions.wav import AUDIO_N, synth_samples
+    from .operators.media import (
+        FEATURE_DIM,
+        extract_features,
+        media_meta,
+        media_table_from_docs,
+    )
+    from .synth import SynthParams, synth_docs_spark
+
+    docs = synth_docs_spark(spark, SynthParams(n_docs=40, n_hosts=4))
+    media_table_from_docs(docs).select("doc_id", "media_ref", "payload").coalesce(
+        1
+    ).write.mode("overwrite").parquet(_GATE_MEDIA_DECODE_PATH)
+    media = spark.read.parquet(_GATE_MEDIA_DECODE_PATH).dropDuplicates(["media_ref"])
+
+    # zero-Spark python twin for the audio rows: expected feature bytes are
+    # the low bytes of the ground-truth PCM samples (gate-scale collect)
+    wav_refs = sorted(
+        r["media_ref"]
+        for r in media.filter(
+            F.hex("payload").startswith("52494646")
+        ).select("media_ref").collect()
+    )
+    twin = [
+        (ref, p, int(np.asarray(synth_samples(ref, AUDIO_N))[p]) & 0xFF)
+        for ref in wav_refs
+        for p in range(FEATURE_DIM)
+    ]
+    spark.createDataFrame(
+        twin or [("__none__", 0, 0)], "media_ref string, pos bigint, val bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(_GATE_MEDIA_WAV_TWIN_PATH)
+
+    meta = media_meta(media).select("media_ref", "format")
+    feats = extract_features(media)
+    return (
+        feats.join(meta, "media_ref")
+        .filter(F.col("format") != "jpeg")
+        .select(
+            "media_ref",
+            "format",
+            F.posexplode("features").alias("pos", "f"),
+        )
+        .select(
+            "media_ref",
+            "format",
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("f") * 255.0).cast("long").alias("val"),
+        )
+    )
+
+
+SQL_MEDIA_DECODE = f"""
+WITH m AS (
+  SELECT DISTINCT media_ref,
+         CASE WHEN starts_with(hex(payload), '89504E470D0A1A0A') THEN 'png'
+              WHEN starts_with(hex(payload), 'FFD8FF') THEN 'jpeg'
+              WHEN starts_with(hex(payload), '47494638') THEN 'gif'
+              WHEN starts_with(hex(payload), '52494646') THEN 'riff'
+              WHEN starts_with(hex(payload), '595556344D50454732') THEN 'y4m'
+              ELSE 'unknown' END AS format
+  FROM read_parquet('{_GATE_MEDIA_DECODE_PATH}/*.parquet')
+), p AS (
+  SELECT CAST(unnest(range(16)) AS BIGINT) AS pos
+), img AS (
+  -- png/gif pixels and y4m first-frame pixels are counter-mode sha256
+  -- streams; feature byte i = byte i of the first digest block
+  SELECT media_ref, format,
+         CASE WHEN format = 'y4m' THEN sha256(media_ref || '|f0|0')
+              ELSE sha256(media_ref || '|0') END AS hx
+  FROM m WHERE format IN ('png', 'gif', 'y4m')
+), imgrows AS (
+  SELECT media_ref, format, p.pos,
+         CAST((strpos('0123456789abcdef', substr(hx, 1 + 2 * p.pos, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 2 + 2 * p.pos, 1)) - 1)
+           AS BIGINT) AS val
+  FROM img CROSS JOIN p
+), wavrows AS (
+  SELECT w.media_ref, 'riff' AS format, w.pos, w.val
+  FROM read_parquet('{_GATE_MEDIA_WAV_TWIN_PATH}/*.parquet') w
+  WHERE w.media_ref <> '__none__'
+)
+SELECT media_ref, format, pos, val FROM imgrows
+UNION ALL
+SELECT media_ref, format, pos, val FROM wavrows
+"""
+
+SPARK_QUERIES["media_decode"] = q_media_decode
+SQL_ORACLES["media_decode"] = SQL_MEDIA_DECODE
+
+
 def q_crawl_scheduler_order(spark, sf_dir):
     """Priority-frontier mode (politeness budgets, robots, retries),
     hash-gated against the reference simulator (oracle_sim.simulate_scheduler
@@ -2035,9 +2146,14 @@ ROWS_ONLY_QUERIES = {
     # the SQL-oracled set; r5 moves crawl_bfs_order/crawl_scheduler_order
     # under the hard gate by exporting the Python reference simulator's order
     # table as parquet for DuckDB to read back, and ivf_ann_topk via the
-    # exported IVF storage layout. media_features (the codec-decode half)
-    # stays rows-only — decode is sandbox-stubbed; its non-decode features
-    # are the SQL-oracled media_meta row.)
+    # exported IVF storage layout. The codec decode path itself is now
+    # SQL-oracled too (media_decode: DuckDB re-derives the decoded bytes
+    # from its own sha256 of the ground-truth stream — png/gif/y4m in pure
+    # SQL, wav via the zero-Spark twin). media_features stays rows-only as
+    # the full-surface plumbing check because it INCLUDES the lossy jpeg
+    # tier, whose decoded pixels are not ground-truth-equal by design;
+    # jpeg carries codec-pinned PSNR/determinism bounds in
+    # tests/test_jpeg.py.)
 }
 
 
