@@ -10,11 +10,14 @@ UDF-native operators (MinHash/CDC hashing, IVF assignment, crawl engines)
 export their intermediate tables to parquet inside the query so DuckDB
 re-derives the relational tail from the same bytes; the crawl-ordering rows
 export the Python reference simulator's order table the same way. The single
-rows-only entry is media_features (decode features are not SQL-expressible;
-PNG, GIF, JPEG images, WAV audio, and Y4M video all decode for real — pure
-zlib+numpy, LZW+palette, baseline-DCT, RIFF-PCM, and raw-plane codecs with
-pixel-/sample-exact or bounded-error pytest oracles — and the non-decode
-half is the SQL-oracled media_meta row).
+rows-only entry is media_features, and only because it INCLUDES the lossy
+jpeg tier: PNG, GIF, JPEG images, WAV audio, and Y4M video all decode for
+real (pure zlib+numpy, LZW+palette, baseline-DCT, RIFF-PCM, and raw-plane
+codecs), the non-decode half is the SQL-oracled media_meta row, and the
+lossless decode path itself is the SQL-oracled media_decode row (DuckDB
+re-derives the decoded bytes from its own sha256 of the ground-truth
+stream, touching no engine codec code); jpeg's decoded pixels are not
+ground-truth-equal by design and carry PSNR/determinism pytest bounds.
 """
 
 from __future__ import annotations
