@@ -190,6 +190,12 @@ DEDUP_REP_SMALL = max(DEDUP_REP // 4, 1)
 # (128k vectors) the per-cell matmul work dominates both timed runs.
 DEDUP_REP_IVF = int(os.environ.get("BENCH_DEDUP_REP_IVF", "64"))
 DEDUP_REP_IVF_SMALL = max(DEDUP_REP_IVF // 4, 1)
+# cdc gets the same treatment at x64 (320k docs): at x16 its hi-level timed
+# Δwall was ~1.4s — noise-sized against this box's run-to-run variance, so
+# the published marginal ratio measured the window, not the operator (the
+# x16 corpus stays on as cdc's marginal baseline AND minhash's big corpus)
+DEDUP_REP_CDC = int(os.environ.get("BENCH_DEDUP_REP_CDC", "64"))
+DEDUP_REP_CDC_SMALL = max(DEDUP_REP_CDC // 4, 1)
 
 
 def ensure_dedup_docs(spark, rep: int = DEDUP_REP) -> str:
@@ -239,9 +245,12 @@ def ensure_dedup_emb(spark, rep: int = DEDUP_REP_IVF) -> str:
 
 
 GRAPH_PQ = os.environ.get("BENCH_GRAPH_PQ", "/dev/shm/bench_graph_input")
-# 4M edges over 400k hosts: PageRank's per-iteration join/agg work dominates
-# session constants at both levels while the section stays ~3-4 min
-GRAPH_EDGES = int(os.environ.get("BENCH_GRAPH_EDGES", "4000000"))
+# 16M edges over 1.6M hosts: PageRank's per-iteration join/agg work must
+# dominate at the HI level for the marginal ratio to measure the operator —
+# at 4M edges the hi timed walls were ~8s against per-iteration
+# scheduling/checkpoint constants and the published ratio measured the
+# small-task regime (0.58 vs 0.63 at 16M); section stays ~5 min
+GRAPH_EDGES = int(os.environ.get("BENCH_GRAPH_EDGES", "16000000"))
 GRAPH_EDGES_SMALL = GRAPH_EDGES // 4
 GRAPH_ITERS = 5
 
@@ -280,10 +289,11 @@ def ensure_graph_input(spark, n_edges: int = GRAPH_EDGES) -> str:
 def _graph_throughput_inprocess(cores: int) -> dict:
     """One fresh-JVM sample of the link-graph family at `cores`: 5-iteration
     PageRank over the skewed host graph at two sizes (x1/4 and x1), headline
-    = MARGINAL edge-iterations/s (Δedges*iters/Δwall — session constants and
-    the per-iteration driver scalar roundtrips appear in both timings and
-    cancel); one-shot walls kept for auditability. Same protocol as the
-    dedup kernel."""
+    = MARGINAL edge-iterations/s (Δedges*iters/Δwall — session constants
+    appear in both timings and cancel; the loop itself has NO per-iteration
+    driver roundtrip since the dangling scalar is a broadcast branch of the
+    iteration plan); one-shot walls kept for auditability. Same protocol as
+    the dedup kernel."""
     from link_profiler_repo_spark.operators.graph import pagerank
     from link_profiler_repo_spark.operators.order import unpersist_all
     from link_profiler_repo_spark.session import get_spark
@@ -391,28 +401,45 @@ def _dedup_throughput_inprocess(cores: int) -> dict:
     )
     ddir = ensure_dedup_docs(spark, DEDUP_REP)
     dsdir = ensure_dedup_docs(spark, DEDUP_REP_SMALL)
+    dcdir = ensure_dedup_docs(spark, DEDUP_REP_CDC)
+    dcsdir = ensure_dedup_docs(spark, DEDUP_REP_CDC_SMALL)
     edir = ensure_dedup_emb(spark, DEDUP_REP_IVF)
     esdir = ensure_dedup_emb(spark, DEDUP_REP_IVF_SMALL)
     docs, docs_s = spark.read.parquet(ddir), spark.read.parquet(dsdir)
+    docs_c, docs_cs = spark.read.parquet(dcdir), spark.read.parquet(dcsdir)
     emb, emb_s = spark.read.parquet(edir), spark.read.parquet(esdir)
     n_docs, n_docs_s = docs.count(), docs_s.count()
+    n_docs_c, n_docs_cs = docs_c.count(), docs_cs.count()
     n_vecs, n_vecs_s = emb.count(), emb_s.count()
     # JVM/codegen warmup outside the timed region
     spark.range(1_000_000).select(F.sum("id")).collect()
     out = {
         "cores": cores,
         "n_docs": n_docs, "n_docs_small": n_docs_s,
+        "n_docs_cdc": n_docs_c, "n_docs_cdc_small": n_docs_cs,
         "n_vecs": n_vecs, "n_vecs_small": n_vecs_s,
     }
+    # IVF centroids trained ONCE outside the timed region on the big corpus
+    # and shared by both timed sizes. Trained inside, nlist = sqrt(N)
+    # differs per corpus size, so the SERIAL driver k-means (sample x nlist
+    # flops) is ~2x bigger in the big timing — a non-distributed cost
+    # landing straight in the marginal Δ, which exists precisely to cancel
+    # such constants. Train-once-reuse is also the cluster protocol: at
+    # 100 TB the centroids are fit on one bounded sample, not per shard.
+    from link_profiler_repo_spark.operators.similarity import train_centroids
+
+    ivf_nlist = max(4, int(n_vecs ** 0.5))
+    ivf_cent = train_centroids(emb, ivf_nlist, n_rows=n_vecs)
     # matmul kernel = the throughput tier (per-cell BLAS; tested equal to the
     # gate's bit-exact Catalyst tier to fp rounding)
     ops = (
         ("minhash", lambda d: minhash_lsh_dup(d, threshold=0.5),
          docs_s, docs, n_docs_s, n_docs, "docs"),
         ("cdc", lambda d: partial_dup_pairs(d, min_shared=3),
-         docs_s, docs, n_docs_s, n_docs, "docs"),
+         docs_cs, docs_c, n_docs_cs, n_docs_c, "docs"),
         ("ivf", lambda d: ivf_blocked_cosine_pairs(
-            d, threshold=0.85, assign_replicas=1, kernel="matmul"),
+            d, threshold=0.85, assign_replicas=1, kernel="matmul",
+            centroids=ivf_cent),
          emb_s, emb, n_vecs_s, n_vecs, "vecs"),
     )
     def _cleanup():
@@ -890,10 +917,12 @@ def main() -> None:
     # materialize the frontier-kernel input on the full machine so the pinned
     # 1-core subprocess doesn't pay generation cost
     ensure_frontier_input(spark)
-    # pre-materialize all four dedup corpora on the full machine so the
+    # pre-materialize all dedup corpora on the full machine so the
     # first pinned low-core subprocess doesn't pay generation cost
     ensure_dedup_docs(spark, DEDUP_REP)
     ensure_dedup_docs(spark, DEDUP_REP_SMALL)
+    ensure_dedup_docs(spark, DEDUP_REP_CDC)
+    ensure_dedup_docs(spark, DEDUP_REP_CDC_SMALL)
     ensure_dedup_emb(spark, DEDUP_REP_IVF)
     ensure_dedup_emb(spark, DEDUP_REP_IVF_SMALL)
     ensure_graph_input(spark)
@@ -1222,7 +1251,13 @@ def main() -> None:
             "## Dedup / ANN family throughput (two parallelism levels)\n\n"
             f"Corpus: sf{sf} documents x{DEDUP_REP} near-duplicate replicas "
             f"({dedup['hi']['n_docs']:,} docs; marginal baseline "
-            f"x{DEDUP_REP_SMALL} = {dedup['hi']['n_docs_small']:,}), "
+            f"x{DEDUP_REP_SMALL} = {dedup['hi']['n_docs_small']:,}) for "
+            f"minhash, x{DEDUP_REP_CDC} "
+            f"({dedup['hi'].get('n_docs_cdc', 0):,} docs; baseline "
+            f"x{DEDUP_REP_CDC_SMALL} = "
+            f"{dedup['hi'].get('n_docs_cdc_small', 0):,}) for cdc (whose "
+            "per-doc work is lighter, so the Δ must be bigger to clear "
+            "noise), "
             f"embeddings x{DEDUP_REP_IVF} ({dedup['hi']['n_vecs']:,} vectors; "
             f"marginal baseline x{DEDUP_REP_IVF_SMALL} = "
             f"{dedup['hi']['n_vecs_small']:,}); "
@@ -1235,7 +1270,11 @@ def main() -> None:
             "identically in both timings and cancel in the difference. The "
             "r4 one-shot ratios (0.28-0.42) mostly measured those constants "
             "— hi-level walls were 3.9-16.9s against multi-second fixed "
-            "costs; one-shot numbers stay tabled for comparison.\n\n"
+            "costs; one-shot numbers stay tabled for comparison. IVF "
+            "centroids are trained once outside the timed region and shared "
+            "by both corpus sizes (the cluster train-once-reuse protocol; "
+            "trained inside, nlist=sqrt(N) makes the serial driver k-means "
+            "differ between sizes and leak into the Δ).\n\n"
             "| op | local[{lo}] marginal | local[{hi}] marginal | scaling "
             "eff (marginal) | one-shot eff |\n".format(
                 lo=dedup["lo"]["cores"], hi=dedup["hi"]["cores"]

@@ -9,14 +9,17 @@ domain-level PageRank = the metric the API sells.
 
 Scale shape: ranks live as a (node, rank) table partitioned by node; each
 iteration is ONE shuffle (join ranks to edges on src, sum contributions by
-dst) plus a single-row dangling-mass aggregate — no driver data beyond that
-scalar. Out-degrees are computed once and carried WITH the edges so the loop
-never re-aggregates them. Iterations are fixed-count (the openpagerank-style
-0-10 score is a display transform; fixed k≈10 converges to ~1e-6 on web
-graphs) which keeps the computation a pure dataflow — the same unrolled plan
-DuckDB re-derives in the gate oracle. Lineage is truncated with
-localCheckpoint every few rounds (cluster: checkpoint dir), same contract as
-the crawl loop's epoch tables.
+dst) plus a single-row dangling-mass aggregate that is FOLDED INTO the
+iteration's plan as a broadcast scalar (cross join with a 1-row aggregate)
+— the loop runs one job per iteration with NO driver roundtrip between the
+dangling sum and the rank update, so a 1000-executor cluster never idles on
+a per-iteration scheduler barrier. Out-degrees are computed once, cached,
+and carried WITH the edges so the loop never re-aggregates them. Iterations
+are fixed-count (the openpagerank-style 0-10 score is a display transform;
+fixed k≈10 converges to ~1e-6 on web graphs) which keeps the computation a
+pure dataflow — the same unrolled plan DuckDB re-derives in the gate
+oracle. Lineage is truncated with localCheckpoint every round (cluster:
+checkpoint dir), same contract as the crawl loop's epoch tables.
 """
 
 from __future__ import annotations
@@ -55,7 +58,15 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # out-degree table cached: the per-iteration dangling branch anti-joins
+    # against it, and uncached that branch would re-derive
+    # edges.distinct().groupBy(src) — an O(|E|) double shuffle — EVERY
+    # iteration from the raw source (cache matching is by plan subtree, and
+    # neither e nor deg is a subtree of the cached ed layout)
+    deg = track_persist(
+        e.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    )
+    deg.count()
     # out-degree carried with every edge, and the edge table cached
     # PRE-PARTITIONED on src: each iteration's contribution join then reads
     # the cache with NO edges-side Exchange (localCheckpoint would lose the
@@ -69,14 +80,15 @@ def pagerank(
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
-        # materialize the iteration's input ONCE: the dangling aggregate and
+        # materialize the iteration's input ONCE: the dangling branch and
         # the contribution join both read it, and lineage stays O(1)
         ranks = ranks.localCheckpoint(eager=True)
-        # dangling mass: single-row aggregate, the loop's only driver value
-        dangling = (
+        # dangling mass: a 1-row aggregate kept INSIDE the iteration's plan
+        # as a broadcast scalar (cross join) — no .first() barrier; both
+        # branches read the checkpointed ranks, so nothing recomputes
+        dang = (
             ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
         contrib = (
             ed.join(ranks, ed["src"] == ranks["node"])
@@ -84,20 +96,28 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping)
-                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(damping_mass(dangling, n)))
-            ).alias("rank"),
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + damping_mass(F.col("_dang"), n)
+                    )
+                ).alias("rank"),
+            )
         )
     return ranks
 
 
-def damping_mass(dangling: float, n: int) -> float:
+def damping_mass(dangling, n: int):
     """Per-node share of the dangling mass (kept as a named helper so the
-    Spark plan and the unrolled SQL oracle read the same formula)."""
+    Spark plan and the unrolled SQL oracle read the same formula). Works on
+    a float or a Column — the loop passes the broadcast scalar column."""
     return dangling / n
 
 
@@ -204,9 +224,26 @@ def hits(
     e_by_dst.count()
     hubs = nodes.select("node", F.lit(1.0 / n).alias("h"))
     auth = None
+
+    def _l1_normalize(scores: DataFrame, col: str) -> DataFrame:
+        # L1 normalizer folded into the plan as a broadcast scalar (cross
+        # join with the 1-row sum) instead of a per-half-step .first()
+        # driver barrier; `scores` is checkpointed, so both branches read
+        # the cached rows and the normalized frame is cheap O(1) lineage —
+        # no second checkpoint needed. Zero-sum guard mirrors the oracle's
+        # CASE WHEN SUM = 0 THEN 1.0.
+        norm = scores.agg(F.sum(col).alias("_n")).select(
+            F.when(F.col("_n").isNull() | (F.col("_n") == 0), F.lit(1.0))
+            .otherwise(F.col("_n"))
+            .alias("_n")
+        )
+        return scores.crossJoin(F.broadcast(norm)).select(
+            "node", (F.col(col) / F.col("_n")).alias(col)
+        )
+
     for _ in range(iters):
-        hubs = hubs.localCheckpoint(eager=True)
         # authority(v) = sum of hub(u) over edges u -> v, L1-normalized
+        # (hubs is O(1) lineage over the previous half-step's checkpoint)
         a_raw = (
             e_by_src.join(hubs, e_by_src["src"] == hubs["node"])
             .groupBy("dst")
@@ -215,10 +252,7 @@ def hits(
         auth = nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left").select(
             "node", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")
         )
-        auth = auth.localCheckpoint(eager=True)
-        a_norm = auth.agg(F.sum("a")).first()[0] or 1.0
-        auth = auth.select("node", (F.col("a") / F.lit(a_norm)).alias("a"))
-        auth = auth.localCheckpoint(eager=True)
+        auth = _l1_normalize(auth.localCheckpoint(eager=True), "a")
         # hub(u) = sum of authority(v) over edges u -> v, L1-normalized
         h_raw = (
             e_by_dst.join(auth, e_by_dst["dst"] == auth["node"])
@@ -228,9 +262,7 @@ def hits(
         hubs = nodes.join(h_raw, nodes["node"] == h_raw["src"], "left").select(
             "node", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
         )
-        hubs = hubs.localCheckpoint(eager=True)
-        h_norm = hubs.agg(F.sum("h")).first()[0] or 1.0
-        hubs = hubs.select("node", (F.col("h") / F.lit(h_norm)).alias("h"))
+        hubs = _l1_normalize(hubs.localCheckpoint(eager=True), "h")
     return (
         hubs.withColumnRenamed("h", "hub")
         .join(auth.withColumnRenamed("a", "authority"), "node")
@@ -311,8 +343,10 @@ def trustrank(
     mass re-teleports to the seeds (the personalized-PageRank convention,
     keeping sum(trust)=1; the original paper lets it leak — same ordering,
     different normalization). Scale shape identical to pagerank(): one
-    shuffle per iteration plus a single-row dangling aggregate; the teleport
-    column rides the checkpointed node table so the loop adds no join.
+    shuffle per iteration plus a single-row dangling aggregate folded into
+    the plan as a broadcast scalar (no per-iteration driver barrier); the
+    teleport column rides the checkpointed node table so the loop adds no
+    join.
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -340,7 +374,12 @@ def trustrank(
         .persist()
     )
     nd.count()
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # cached for the per-iteration dangling anti-join (see pagerank: an
+    # uncached deg re-derives the O(|E|) distinct+groupBy every iteration)
+    deg = track_persist(
+        e.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    )
+    deg.count()
     # src-partitioned edge cache: zero edges-side Exchange per iteration
     # (see pagerank)
     ed = track_persist(e.join(deg, "src").repartition("src").persist())
@@ -349,10 +388,10 @@ def trustrank(
     trust = nd.select("node", F.col("d").alias("t"), "d")
     for _ in range(iters):
         trust = trust.localCheckpoint(eager=True)
-        dangling = (
+        # dangling mass as an in-plan broadcast scalar (see pagerank)
+        dang = (
             trust.join(deg, trust["node"] == deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("t"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("t"), F.lit(0.0)).alias("_dang"))
         )
         contrib = (
             ed.join(trust, ed["src"] == trust["node"])
@@ -360,14 +399,21 @@ def trustrank(
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
         )
-        trust = nd.join(contrib, nd["node"] == contrib["dst"], "left").select(
-            "node",
-            (
-                F.lit(1.0 - a) * F.col("d")
-                + F.lit(a)
-                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling) * F.col("d"))
-            ).alias("t"),
-            "d",
+        trust = (
+            nd.join(contrib, nd["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - a) * F.col("d")
+                    + F.lit(a)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("_dang") * F.col("d")
+                    )
+                ).alias("t"),
+                "d",
+            )
         )
     return trust.select("node", F.col("t").alias("trust"))
 
