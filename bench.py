@@ -294,12 +294,19 @@ def _graph_throughput_inprocess(cores: int) -> dict:
     driver roundtrip since the dangling scalar is a broadcast branch of the
     iteration plan); one-shot walls kept for auditability. Same protocol as
     the dedup kernel."""
+    import tempfile
+
     from link_profiler_repo_spark.operators.graph import pagerank
     from link_profiler_repo_spark.operators.order import unpersist_all
     from link_profiler_repo_spark.session import get_spark
 
+    # identical shuffle partitioning at both levels + event log for
+    # per-segment task-CPU/packing (see the dedup kernel)
+    parts = int(os.environ.get("BENCH_GRAPH_PARTITIONS", "32"))
+    evdir = tempfile.mkdtemp(prefix="bench_evlog_graph_")
     spark = get_spark(
-        app=f"graph-bench-{cores}", cores=cores, shuffle_partitions=cores * 2
+        app=f"graph-bench-{cores}", cores=cores, shuffle_partitions=parts,
+        extra={"spark.eventLog.enabled": "true", "spark.eventLog.dir": evdir},
     )
     gdir = ensure_graph_input(spark)
     gsdir = ensure_graph_input(spark, GRAPH_EDGES_SMALL)
@@ -318,13 +325,19 @@ def _graph_throughput_inprocess(cores: int) -> dict:
     # measurably fails to absorb first-run costs)
     pagerank(small, iters=GRAPH_ITERS).count()
     _cleanup()
+    m0, c0 = time.time() * 1000, _proctree_cpu_s()
     t0 = time.monotonic()
     pagerank(small, iters=GRAPH_ITERS).count()
     w_s = time.monotonic() - t0
+    m1 = time.time() * 1000
+    out["small_tree_cpu_s"] = round(_proctree_cpu_s() - c0, 2)
     _cleanup()
+    m2, c0 = time.time() * 1000, _proctree_cpu_s()
     t0 = time.monotonic()
     out["nodes"] = pagerank(big, iters=GRAPH_ITERS).count()
     w_b = time.monotonic() - t0
+    m3 = time.time() * 1000
+    out["tree_cpu_s"] = round(_proctree_cpu_s() - c0, 2)
     _cleanup()
     out["small_sec"] = round(w_s, 2)
     out["sec"] = round(w_b, 2)
@@ -332,6 +345,19 @@ def _graph_throughput_inprocess(cores: int) -> dict:
     out["marginal_edge_iters_per_sec"] = int(
         (n_b - n_s) * GRAPH_ITERS / max(w_b - w_s, 0.05)
     )
+    spark.stop()
+    try:
+        tms = _task_metrics_windows(evdir, [(m0, m1), (m2, m3)])
+        out["small_cpu_s"] = tms[0]["cpu_s"]
+        out["small_packing"] = round(tms[0]["run_s"] / (cores * w_s), 3)
+        out["cpu_s"] = tms[1]["cpu_s"]
+        out["packing"] = round(tms[1]["run_s"] / (cores * w_b), 3)
+    except Exception:
+        pass
+    finally:
+        import shutil
+
+        shutil.rmtree(evdir, ignore_errors=True)
     return out
 
 
@@ -357,7 +383,7 @@ def graph_family_bench(n_low: int, n_high: int, rounds: int = 2) -> dict:
             if b is None or (s["sec"] + s["small_sec"]) < (b["sec"] + b["small_sec"]):
                 best[cores] = s
     lo, hi = best[n_low], best[n_high]
-    return {
+    res = {
         "lo": lo,
         "hi": hi,
         "efficiency": round(
@@ -369,6 +395,13 @@ def graph_family_bench(n_low: int, n_high: int, rounds: int = 2) -> dict:
             / (n_high / n_low), 3,
         ),
     }
+    # CPU-based marginal efficiency (see dedup_family_bench; tree CPU)
+    vals = [b.get(k) for b in (lo, hi) for k in ("tree_cpu_s", "small_tree_cpu_s")]
+    if all(v is not None for v in vals):
+        dlo, dhi = vals[0] - vals[1], vals[2] - vals[3]
+        if dlo > 0 and dhi > 0:
+            res["efficiency_cpu"] = round(dlo / dhi, 3)
+    return res
 
 
 def _dedup_throughput_inprocess(cores: int) -> dict:
@@ -388,6 +421,8 @@ def _dedup_throughput_inprocess(cores: int) -> dict:
     mostly measured those constants (3.9-16.9s hi-level walls), not the
     operators. One-shot full-corpus walls stay in the artifact for
     auditability."""
+    import tempfile
+
     from link_profiler_repo_spark.operators.dedup import (
         ivf_blocked_cosine_pairs,
         minhash_lsh_dup,
@@ -396,8 +431,16 @@ def _dedup_throughput_inprocess(cores: int) -> dict:
     from link_profiler_repo_spark.operators.order import unpersist_all
     from link_profiler_repo_spark.session import get_spark
 
+    # IDENTICAL shuffle partitioning at both levels (the frontier kernel's
+    # rule: the compared plans must differ only in cores) + event log for
+    # per-segment task-CPU/packing — the same dual-estimator basis the
+    # frontier criterion uses, so a raw marginal ratio polluted by neighbor
+    # load is distinguishable from a real scaling loss in the artifact.
+    parts = int(os.environ.get("BENCH_DEDUP_PARTITIONS", "32"))
+    evdir = tempfile.mkdtemp(prefix="bench_evlog_dedup_")
     spark = get_spark(
-        app=f"dedup-bench-{cores}", cores=cores, shuffle_partitions=cores * 2
+        app=f"dedup-bench-{cores}", cores=cores, shuffle_partitions=parts,
+        extra={"spark.eventLog.enabled": "true", "spark.eventLog.dir": evdir},
     )
     ddir = ensure_dedup_docs(spark, DEDUP_REP)
     dsdir = ensure_dedup_docs(spark, DEDUP_REP_SMALL)
@@ -450,6 +493,7 @@ def _dedup_throughput_inprocess(cores: int) -> dict:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
+    wins: list = []  # (label, start_ms, end_ms, wall_s)
     for name, op, small, big, n_s, n_b, unit in ops:
         # untimed FULL small-corpus warmup: a limit(500) slice measurably
         # fails to absorb the one-time first-full-run cost (~8s — worker
@@ -458,13 +502,19 @@ def _dedup_throughput_inprocess(cores: int) -> dict:
         # runs are equally warm steady-state
         op(small).count()
         _cleanup()
+        m0, c0 = time.time() * 1000, _proctree_cpu_s()
         t0 = time.monotonic()
         op(small).count()
         w_s = time.monotonic() - t0
+        wins.append((f"{name}_small", m0, time.time() * 1000, w_s))
+        out[f"{name}_small_tree_cpu_s"] = round(_proctree_cpu_s() - c0, 2)
         _cleanup()
+        m0, c0 = time.time() * 1000, _proctree_cpu_s()
         t0 = time.monotonic()
         out[f"{name}_pairs"] = op(big).count()
         w_b = time.monotonic() - t0
+        wins.append((name, m0, time.time() * 1000, w_b))
+        out[f"{name}_tree_cpu_s"] = round(_proctree_cpu_s() - c0, 2)
         _cleanup()
         out[f"{name}_small_sec"] = round(w_s, 2)
         out[f"{name}_sec"] = round(w_b, 2)
@@ -474,6 +524,18 @@ def _dedup_throughput_inprocess(cores: int) -> dict:
         out[f"{name}_marginal_{unit}_per_sec"] = int(
             (n_b - n_s) / max(w_b - w_s, 0.05)
         )
+    spark.stop()
+    try:
+        tms = _task_metrics_windows(evdir, [(a, b) for _, a, b, _ in wins])
+        for (label, _, _, wall), tm in zip(wins, tms):
+            out[f"{label}_cpu_s"] = tm["cpu_s"]
+            out[f"{label}_packing"] = round(tm["run_s"] / (cores * wall), 3)
+    except Exception:
+        pass
+    finally:
+        import shutil
+
+        shutil.rmtree(evdir, ignore_errors=True)
     return out
 
 
@@ -528,7 +590,31 @@ def dedup_family_bench(n_low: int, n_high: int, rounds: int = 2) -> dict:
         )
         for op, unit in units
     }
-    return {"lo": lo, "hi": hi, "efficiency": eff, "efficiency_oneshot": eff_oneshot}
+    # CPU-based marginal efficiency (the frontier criterion's second
+    # estimator, applied to the Δ): ratio of incremental task-CPU-seconds
+    # between levels — insensitive to host preemption, degrades exactly when
+    # the higher level burns more CPU for the same extra rows
+    # tree CPU (JVM + Python workers via /proc) not event-log task CPU: the
+    # UDF family's dominant cost runs in pandas workers, invisible to
+    # Executor CPU Time (the task thread is blocked, not on-CPU)
+    eff_cpu = {}
+    for op, _u in units:
+        vals = [
+            b.get(k)
+            for b in (lo, hi)
+            for k in (f"{op}_tree_cpu_s", f"{op}_small_tree_cpu_s")
+        ]
+        if all(v is not None for v in vals):
+            dlo, dhi = vals[0] - vals[1], vals[2] - vals[3]
+            if dlo > 0 and dhi > 0:
+                eff_cpu[op] = round(dlo / dhi, 3)
+    return {
+        "lo": lo,
+        "hi": hi,
+        "efficiency": eff,
+        "efficiency_cpu": eff_cpu,
+        "efficiency_oneshot": eff_oneshot,
+    }
 
 
 def _task_metrics(evlog_dir: str, after_ms: float) -> dict:
@@ -542,7 +628,59 @@ def _task_metrics(evlog_dir: str, after_ms: float) -> dict:
 
     import json as _json
 
-    cpu = run = 0.0
+    return _task_metrics_windows(evlog_dir, [(after_ms, float("inf"))])[0]
+
+
+def _proctree_cpu_s() -> float:
+    """Cumulative CPU-seconds (utime+stime) of THIS process and every live
+    descendant, sampled from /proc. Deltas between two samples give a timed
+    window's total CPU including the JVM AND its Python UDF workers — which
+    Spark's Executor CPU Time metric cannot see (the task thread is blocked,
+    not on-CPU, while pandas computes). Workers/JVM persist across the timed
+    runs (warmup spawns them), so no CPU escapes via mid-window exits."""
+    import glob as _glob
+
+    ppid_of: dict[int, int] = {}
+    cpu_of: dict[int, float] = {}
+    tick = os.sysconf("SC_CLK_TCK")
+    for p in _glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(p) as f:
+                s = f.read()
+        except OSError:
+            continue
+        # pid (comm) state ppid ... utime=14th stime=15th (comm may hold
+        # spaces/parens — split after the LAST ')')
+        rp = s.rindex(")")
+        fields = s[rp + 2:].split()
+        pid = int(s.split(" ", 1)[0])
+        ppid_of[pid] = int(fields[1])
+        cpu_of[pid] = (int(fields[11]) + int(fields[12])) / tick
+    me = os.getpid()
+    total = 0.0
+    for pid, cpu in cpu_of.items():
+        q = pid
+        seen = set()
+        while q and q not in seen:
+            if q == me:
+                total += cpu
+                break
+            seen.add(q)
+            q = ppid_of.get(q, 0)
+    return total
+
+
+def _task_metrics_windows(
+    evlog_dir: str, windows: "list[tuple[float, float]]"
+) -> "list[dict]":
+    """Per-window task-metric sums over ONE parse of the event log: a stage
+    belongs to the window its Submission Time falls in. Used by the dedup
+    and graph kernels, whose timed segments are several runs in one session."""
+    import glob
+    import subprocess
+
+    import json as _json
+
     files = glob.glob(os.path.join(evlog_dir, "*", "events*")) + glob.glob(
         os.path.join(evlog_dir, "events*")
     )
@@ -559,18 +697,25 @@ def _task_metrics(evlog_dir: str, after_ms: float) -> dict:
     # two passes over the MERGED stream: a rolling log can split a stage's
     # Submitted and TaskEnd events across files, so per-file stage sets would
     # silently drop tasks
-    stage_ok = set()
+    stage_win: dict = {}
     for e in all_events:
         if e.get("Event") == "SparkListenerStageSubmitted":
             si = e["Stage Info"]
-            if si.get("Submission Time", 0) >= after_ms:
-                stage_ok.add(si["Stage ID"])
+            sub = si.get("Submission Time", 0)
+            for i, (lo, hi) in enumerate(windows):
+                if lo <= sub < hi:
+                    stage_win[si["Stage ID"]] = i
+                    break
+    sums = [{"cpu_s": 0.0, "run_s": 0.0} for _ in windows]
     for e in all_events:
-        if e.get("Event") == "SparkListenerTaskEnd" and e["Stage ID"] in stage_ok:
+        if e.get("Event") == "SparkListenerTaskEnd" and e["Stage ID"] in stage_win:
             m = e.get("Task Metrics") or {}
-            cpu += m.get("Executor CPU Time", 0) / 1e9
-            run += m.get("Executor Run Time", 0) / 1000.0
-    return {"cpu_s": round(cpu, 2), "run_s": round(run, 2)}
+            s = sums[stage_win[e["Stage ID"]]]
+            s["cpu_s"] += m.get("Executor CPU Time", 0) / 1e9
+            s["run_s"] += m.get("Executor Run Time", 0) / 1000.0
+    return [
+        {"cpu_s": round(s["cpu_s"], 2), "run_s": round(s["run_s"], 2)} for s in sums
+    ]
 
 
 def _frontier_epoch_inprocess(cores: int) -> dict:
@@ -1137,7 +1282,9 @@ def main() -> None:
             "headline": frontier["scaling_efficiency"],
             "crawl_pps": crawl["pages_per_sec"],
             "dedup_marginal_eff": dedup["efficiency"],
+            "dedup_marginal_eff_cpu": dedup.get("efficiency_cpu"),
             "graph_marginal_eff": graph["efficiency"],
+            "graph_marginal_eff_cpu": graph.get("efficiency_cpu"),
         }) + "\n")
     sessions = []
     for line in open(sess_path):
@@ -1276,20 +1423,25 @@ def main() -> None:
             "trained inside, nlist=sqrt(N) makes the serial driver k-means "
             "differ between sizes and leak into the Δ).\n\n"
             "| op | local[{lo}] marginal | local[{hi}] marginal | scaling "
-            "eff (marginal) | one-shot eff |\n".format(
+            "eff (marginal) | cpu eff (marginal) | one-shot eff |\n".format(
                 lo=dedup["lo"]["cores"], hi=dedup["hi"]["cores"]
             )
-            + "|---|---|---|---|---|\n"
+            + "|---|---|---|---|---|---|\n"
             + "".join(
                 f"| {op} ({unit}/s, {dedup['hi'][f'{op}_pairs']:,} pairs) "
                 f"| {dedup['lo'][f'{op}_marginal_{unit}_per_sec']:,} "
                 f"| {dedup['hi'][f'{op}_marginal_{unit}_per_sec']:,} "
                 f"| {dedup['efficiency'][op]} "
+                f"| {dedup.get('efficiency_cpu', {}).get(op, '—')} "
                 f"| {dedup['efficiency_oneshot'][op]} |\n"
                 for op, unit in (
                     ("minhash", "docs"), ("cdc", "docs"), ("ivf", "vecs"),
                 )
             )
+            + "\nThe cpu-eff column is the frontier criterion's second "
+            "estimator applied to the Δ (incremental task-CPU lo/hi from "
+            "each run's event log — insensitive to host preemption); "
+            "per-segment cpu_s/packing are in last_run_full.json.\n"
             + "\nOne-shot full-corpus walls (lo/hi): minhash "
             f"{dedup['lo']['minhash_sec']}/{dedup['hi']['minhash_sec']}s, "
             f"cdc {dedup['lo']['cdc_sec']}/{dedup['hi']['cdc_sec']}s, "
@@ -1322,6 +1474,7 @@ def main() -> None:
                 for g in (graph["lo"], graph["hi"])
             )
             + f"\nScaling efficiency: marginal **{graph['efficiency']}**, "
+            f"cpu-based marginal {graph.get('efficiency_cpu', '—')}, "
             f"one-shot {graph['efficiency_oneshot']}.\n\n"
             f"Headline query times at sf{sf} (local[{CPUS}]):\n\n"
             + "\n".join(f"- {k}: {v}s" for k, v in qtimes.items())
