@@ -371,3 +371,39 @@ def test_kcore_oracle_unroll_is_idempotent_past_fixpoint():
         + " ORDER BY node"
     ).fetchall()
     assert a == b and len(a) == 30
+
+
+def test_hashed_id_helpers_roundtrip_and_gating(spark):
+    """The rankers' long-key tier: _hashed_ids_ok accepts a collision-free
+    string node set and rejects already-integral keys; _restore_node_keys
+    maps a hashed result back to the original keys losslessly."""
+    from link_profiler_repo_spark.operators.graph import (
+        _hashed_ids_ok,
+        _restore_node_keys,
+    )
+
+    nodes = spark.createDataFrame(
+        [(f"host{i}.example",) for i in range(50)], schema="node string"
+    )
+    assert _hashed_ids_ok(nodes)
+    assert not _hashed_ids_ok(
+        spark.range(50).select(F.col("id").alias("node"))
+    )
+    hashed = nodes.select(
+        F.xxhash64("node").alias("node"), (F.length("node") * 1.0).alias("score")
+    )
+    back = _restore_node_keys(hashed, nodes).collect()
+    assert sorted(r["node"] for r in back) == sorted(
+        f"host{i}.example" for i in range(50)
+    )
+    assert all(r["score"] == float(len(r["node"])) for r in back)
+
+
+def test_pagerank_long_keys_skip_hashing_and_match(spark):
+    """Integer node ids take the native-key path (no re-key) and still match
+    the numpy twin — the fallback the collision guard relies on."""
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
+    df = spark.createDataFrame(edges, schema="src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=5).collect()}
+    exp = _numpy_pagerank(edges, iters=5)
+    assert _close(got, exp)
