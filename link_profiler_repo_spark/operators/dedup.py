@@ -142,7 +142,9 @@ def minhash_sig_udf(text: pd.Series) -> pd.Series:
             tmp += b[p_i]
             sig[:, p_i] = np.minimum.reduceat(tmp, segs)
     sig = (sig >> np.uint64(1)).astype(np.int64)  # fit in long
-    return pd.Series(list(sig.tolist()), index=text.index, dtype=object)
+    # rows as int64 ndarrays, not tolist(): Arrow consumes ndarray rows
+    # directly, skipping n_docs*128 Python int allocations (~20% of the UDF)
+    return pd.Series(list(sig), index=text.index, dtype=object)
 
 
 def minhash_signatures(
