@@ -61,7 +61,9 @@ def _hash_tokens(tokens: list[str], seed: np.uint64) -> np.ndarray:
     (VERDICT r01 #6: no per-byte Python in the Arrow batch)."""
     if not tokens:
         return np.empty(0, dtype=np.uint64)
-    b = np.array([t.encode() for t in tokens], dtype=bytes)
+    # dtype=bytes coerces str->ASCII in C (tokens are [a-z0-9]+ by the
+    # _tokenize contract), skipping len(tokens) Python .encode() calls
+    b = np.array(tokens, dtype=bytes)
     lens = np.char.str_len(b).astype(np.int64)  # byte lengths (no NULs in [a-z0-9 ])
     width = b.dtype.itemsize
     h = np.full(len(tokens), np.uint64(1469598103934665603) ^ seed, dtype=np.uint64)
