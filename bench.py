@@ -1424,7 +1424,11 @@ def main() -> None:
             "(zero Spark) run at this same 2-vs-8-pinned-process pair "
             f"shows envelope cpu-eff {calib_f_eff} — the shared memory "
             "bus, not the engine, bounds CPU-based scaling on this box; "
-            "see the dedup section for the method.\n\n"
+            "see the dedup section for the method. The envelope doubles "
+            "as a per-window contention gauge (recorded per session in "
+            "SESSIONS.jsonl): windows where even this zero-Spark loop "
+            "scales worse are windows where neighbors are saturating "
+            "DRAM, and the kernel's raw ratio moves with it.\n\n"
             "Per-round (N urls/s, 4N urls/s, N cpu_s, 4N cpu_s, N packing, "
             "4N packing, raw eff, cpu eff): "
             + "; ".join(
