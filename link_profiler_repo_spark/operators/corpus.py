@@ -2,16 +2,18 @@
 families as one reusable operator (and one deployable job type):
 
     quality filter  → exact-dedup keep → target-mixture sample → token-budget
-    (textops bands)   (md5 pair graph    (sampling.mixture_     pack
-                       → components →     sample)               (sampling.
-                       canonical min)                            token_budget_
-                                                                 pack)
+    (textops bands)   (min-id per md5    (sampling.mixture_     pack
+                       hash group — the   sample)               (sampling.
+                       star special case                         token_budget_
+                       of components)                            pack)
 
 The quality threshold is held in exact INTEGER deci-points so no float
 boundary exists between engines (the gate oracle re-derives every stage with
-different algorithms — see queries.q_corpus_build). One plan end to end:
-scan-side filters, one md5 groupBy + the star-contraction rounds for the
-dedup, a broadcast rates join, and the two-level prefix-sum windows.
+different algorithms — see queries.q_corpus_build). Shape: scan-side
+filters, ONE window-min over the md5 hash for the dedup, a broadcast rates
+join, and the two-level prefix-sum windows; the narrow kept table is
+materialized once (localCheckpoint) so the text pipeline is evaluated a
+single time however many downstream branches read it.
 """
 
 from __future__ import annotations
@@ -20,7 +22,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from . import textops
-from .components import dedup_keep
 from .sampling import mixture_sample, token_budget_pack
 
 
@@ -75,6 +76,11 @@ def build_corpus(
     )
     filtered = d.filter(quality_deci >= min_quality_deci)
     if bench is not None:
+        # the decontamination anti-join references `filtered` on BOTH sides
+        # (gram explode + join left); materialize it once so the expensive
+        # redact/tokenize/quality tree is evaluated a single time — on a
+        # cluster this is the quality-stage boundary a pipeline would persist
+        filtered = filtered.localCheckpoint(eager=True)
         filtered = textops.decontaminate_filter(
             filtered, bench, n=decontam_n, text_col=text_col, id_col=id_col
         )
@@ -82,17 +88,28 @@ def build_corpus(
         filtered = filtered.join(
             sem_keep.filter(F.col("keep")).select(id_col), id_col, "left_semi"
         )
-    h = filtered.select(F.md5(text_col).alias("h"), id_col)
-    keepers = h.groupBy("h").agg(F.min(id_col).alias("a"))
-    pairs = (
-        h.join(keepers, "h")
-        .filter(F.col(id_col) != F.col("a"))
-        .select("a", F.col(id_col).alias("b"))
+    # exact dedup: one canonical (min-id) doc per identical-text hash group.
+    # The md5 pair graph built here is a STAR (every pair anchors at the
+    # group min), so its connected components ARE the hash groups and the
+    # component min IS the per-hash min — one window over the hash computes
+    # the identical keep set without the star-contraction rounds (checkpoint
+    # + convergence-agg jobs per round) that general near-dup graphs need.
+    from pyspark.sql import Window
+
+    slim = filtered.select(
+        id_col, strata_col, "n_tokens", F.md5(text_col).alias("_h")
     )
     unique = (
-        dedup_keep(filtered, pairs, id_col=id_col)
-        .filter(F.col("keep"))
+        slim.withColumn(
+            "_cl", F.min(id_col).over(Window.partitionBy("_h"))
+        )
+        .filter(F.col(id_col) == F.col("_cl"))
         .select(id_col, strata_col, "n_tokens")
+        # consumed by four downstream branches (mixture counts + join-back,
+        # packing window + subtotal agg); materialized once — the text scan
+        # and the dedup shuffle run a single time, every branch reads ~kept
+        # rows of three narrow columns
+        .localCheckpoint(eager=True)
     )
     mixed = mixture_sample(
         unique, id_col, strata_col,
