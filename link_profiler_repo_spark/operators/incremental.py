@@ -116,17 +116,19 @@ def fold_profile_batch_delta(
     loop's epoch-table contract)."""
     counters, pairs = state
     delta = batch.groupBy(key_col).agg(*agg_exprs)
-    new_pairs = new_distinct_pairs(pairs, batch, key_col, member_col)
+    # checkpoint the pair delta FIRST: the distinct counter below reads it,
+    # so checkpointing counters first would evaluate the anti-join twice
+    # (once inside the counters job, once for the pair checkpoint itself)
+    new_pairs = new_distinct_pairs(pairs, batch, key_col, member_col).localCheckpoint(
+        eager=True
+    )
     uniq_delta = new_pairs.groupBy(key_col).agg(
         F.count("*").alias(f"distinct_{member_col}")
     )
     counters2 = merge_counters(
         merge_counters(counters, delta, key_col), uniq_delta, key_col
     )
-    return (
-        counters2.localCheckpoint(eager=True),
-        new_pairs.localCheckpoint(eager=True),
-    )
+    return (counters2.localCheckpoint(eager=True), new_pairs)
 
 
 def fold_profile_batch(
@@ -139,13 +141,15 @@ def fold_profile_batch(
     """One incremental epoch: (counters, pairs) + batch -> (counters',
     pairs'), pairs' = the full accumulated pair table (in-memory fold
     convenience; see fold_profile_batch_delta for the O(batch)-persist
-    form)."""
+    form). pairs' stays a LAZY union of the per-batch checkpointed deltas —
+    every piece is already materialized, so re-checkpointing the union would
+    copy the accumulated O(total-pairs) state once per epoch for nothing."""
     counters, pairs = state
     counters2, new_pairs = fold_profile_batch_delta(
         state, batch, key_col, member_col, agg_exprs
     )
     pairs2 = new_pairs if pairs is None else pairs.unionByName(new_pairs)
-    return (counters2, pairs2.localCheckpoint(eager=True))
+    return (counters2, pairs2)
 
 
 # ---------------------------------------------------------------------------
