@@ -93,13 +93,18 @@ def dsir_weight_table(
     raw: DataFrame, target: DataFrame, text_col: str = "text", buckets: int = 10000
 ) -> DataFrame:
     """Per-bucket importance-weight table: (bucket, w_micro) with
-    w_micro = ln_micro(p_b) - ln_micro(q_b), add-one smoothed. Built as a
-    full outer join of the two count aggregates so buckets seen on either
-    side carry their exact weight; buckets seen on neither side never occur
-    in scoring (a scored gram defines its bucket). <= `buckets` rows —
-    broadcast-sized by construction."""
+    w_micro = ln_micro(p_b) - ln_micro(q_b), add-one smoothed. <= `buckets`
+    rows — broadcast-sized by construction."""
     p = _bucket_counts(target, text_col, buckets, "cp")
     q = _bucket_counts(raw, text_col, buckets, "cq")
+    return _weight_table_from_counts(p, q, buckets)
+
+
+def _weight_table_from_counts(p: DataFrame, q: DataFrame, buckets: int) -> DataFrame:
+    """Weight table from the two (bucket, count) aggregates: a full outer
+    join so buckets seen on either side carry their exact weight; buckets
+    seen on neither side never occur in scoring (a scored gram defines its
+    bucket)."""
     joined = p.join(q, "bucket", "full").select(
         "bucket",
         F.coalesce("cp", F.lit(0)).cast("long").alias("cp"),
@@ -146,9 +151,19 @@ def dsir_scores(
 ) -> DataFrame:
     """Score every raw document: (doc_id, n_grams, logw_micro,
     gumbel_micro, key_micro). Zero-gram documents carry no evidence and are
-    omitted (the classifier/langmodel convention)."""
-    wt = dsir_weight_table(raw, target, text_col=text_col, buckets=buckets)
-    pos = _gram_buckets(raw.select(id_col, text_col), text_col, [id_col], buckets)
+    omitted (the classifier/langmodel convention).
+
+    The raw corpus is tokenized/hashed ONCE: its (doc_id, bucket) gram rows
+    are materialized (two longs per gram — the lightweight proxy of the
+    text; cheaper to store once than to re-scan and re-md5 the corpus) and
+    the q-side bucket counts aggregate from that table instead of a second
+    full text pass."""
+    pos = _gram_buckets(
+        raw.select(id_col, text_col), text_col, [id_col], buckets
+    ).localCheckpoint(eager=True)
+    q = pos.groupBy("bucket").agg(F.count("*").cast("long").alias("cq"))
+    p = _bucket_counts(target, text_col, buckets, "cp")
+    wt = _weight_table_from_counts(p, q, buckets)
     scored = (
         pos.join(F.broadcast(wt), "bucket")
         .groupBy(id_col)

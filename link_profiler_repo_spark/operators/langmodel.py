@@ -56,22 +56,26 @@ def train_bigram_lm(train: DataFrame, text_col: str = "text") -> dict[str, DataF
     """Count tables of the bigram LM from a training corpus.
 
     Returns {"uni": (w, cw), "big": (g, cvw), "ctx": (v, cv),
-    "totals": 1-row (n_tokens, vocab)}. ctx is derived FROM the bigram
-    table (c(v) = sum_w c(vw)) so p_ml(w|v) sums to exactly 1 over the
-    observed rows — and so the oracle can re-derive it the same way.
+    "totals": 1-row (n_tokens, vocab)}. The corpus is tokenized and exploded
+    ONCE — into the bigram table, which is materialized (localCheckpoint:
+    model tables are vocab-bounded, the CCNet deployment trains on a bounded
+    reference slice) — and uni/ctx/totals are all derived from it: with <s>
+    prepended, every real token is the SECOND element of exactly one bigram,
+    so c(w) = sum_v c(vw); and c(v) = sum_w c(vw) keeps p_ml(w|v) summing to
+    exactly 1 over the observed rows — the same derivations the oracle runs.
     """
-    words = train.select(_words(F.col(text_col)).alias("_w"))
-    uni = (
-        words.select(F.explode("_w").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("cw"))
-    )
     big = (
         train.select(_seq(F.col(text_col)).alias("_s"))
         .filter(F.size("_s") >= 2)
         .select(F.explode(word_ngrams(F.col("_s"), 2)).alias("g"))
         .groupBy("g")
         .agg(F.count("*").alias("cvw"))
+        .localCheckpoint(eager=True)
+    )
+    uni = (
+        big.select(F.substring_index("g", " ", -1).alias("w"), "cvw")
+        .groupBy("w")
+        .agg(F.sum("cvw").alias("cw"))
     )
     ctx = (
         big.select(F.substring_index("g", " ", 1).alias("v"), "cvw")
