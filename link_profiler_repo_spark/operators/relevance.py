@@ -43,43 +43,73 @@ def bm25_scores(
 ) -> DataFrame:
     """(doc_id, dl, n_terms_matched, score_micro) for every document
     matching >= 1 query term. Terms are matched on the _words tokenization
-    (lowercased); duplicate query terms are deduped (a term scores once)."""
+    (lowercased); duplicate query terms are deduped (a term scores once).
+
+    Shape: the term list is driver-known and small (tens of terms — a
+    query, not a vocabulary), so per-term tf becomes one COLUMN per term in
+    a single tokenize pass, the corpus-wide stats (n_docs, total_dl, and
+    every term's document frequency) collapse into ONE 1-row aggregate that
+    broadcasts back, and the corpus is never shuffled at all — no token
+    explode, no doc_id join. The per-term contribution expression is the
+    identical double DAG as the exploded form, so scores are bit-equal."""
     terms = sorted(set(t.lower() for t in terms))
     toks = docs.select(id_col, _words(F.col(text_col)).alias("_ws"))
-    stats = toks.agg(
+    # one narrow row per doc: (id, dl, tf per term); materialized once —
+    # the stats aggregate and the scoring pass both read it
+    def _tf(t: str) -> F.Column:
+        # factory, not a default-arg lambda: F.filter dispatches on lambda
+        # arity, and a (x, t=t) signature would be called as (element, index)
+        return F.size(F.filter("_ws", lambda x: x == F.lit(t))).cast("long")
+
+    pertf = toks.select(
+        id_col,
+        F.size("_ws").cast("long").alias("dl"),
+        *[_tf(t).alias(f"_tf_{i}") for i, t in enumerate(terms)],
+    ).localCheckpoint(eager=True)
+    stats = pertf.agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.coalesce(F.sum(F.size("_ws")), F.lit(0)).cast("long").alias("total_dl"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_dl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).cast("long").alias(f"_nt_{i}")
+            for i in range(len(terms))
+        ],
     )
-    tl = (
-        toks.select(id_col, F.explode("_ws").alias("w"))
-        .filter(F.col("w").isin(terms))
-    )
-    tf = tl.groupBy(id_col, "w").agg(F.count("*").cast("long").alias("tf"))
-    nt = tf.groupBy("w").agg(F.count("*").cast("long").alias("n_t"))
-    idf = nt.join(F.broadcast(stats), how="cross").select(
-        "w",
-        _ln_micro(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col("n_t") + F.lit(0.5)) / (F.col("n_t") + F.lit(0.5))
-        ).alias("idf_micro"),
+    idf = stats.select(
         "n_docs",
         "total_dl",
+        *[
+            _ln_micro(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col(f"_nt_{i}") + F.lit(0.5))
+                / (F.col(f"_nt_{i}") + F.lit(0.5))
+            ).alias(f"_idf_{i}")
+            for i in range(len(terms))
+        ],
     )
-    dl = toks.select(id_col, F.size("_ws").cast("long").alias("dl"))
-    j = tf.join(F.broadcast(idf), "w").join(dl, id_col)
+    j = pertf.join(F.broadcast(idf), how="cross")
     avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
-    frac = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
-    )
-    contrib = F.round(F.col("idf_micro") * frac, 0).cast("long")
-    return (
-        j.select(id_col, "dl", contrib.alias("_c"))
-        .groupBy(id_col, "dl")
-        .agg(
-            F.count("*").cast("long").alias("n_terms_matched"),
-            F.sum("_c").cast("long").alias("score_micro"),
+
+    def _contrib(i: int) -> F.Column:
+        tf = F.col(f"_tf_{i}")
+        frac = (tf * F.lit(k1 + 1.0)) / (
+            tf
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
         )
+        return F.when(
+            tf > 0, F.round(F.col(f"_idf_{i}") * frac, 0).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    matched = sum(
+        ((F.col(f"_tf_{i}") > 0).cast("long") for i in range(len(terms))),
+        F.lit(0).cast("long"),
+    )
+    score = sum((_contrib(i) for i in range(len(terms))), F.lit(0).cast("long"))
+    return j.filter(matched > 0).select(
+        id_col,
+        "dl",
+        matched.cast("long").alias("n_terms_matched"),
+        score.cast("long").alias("score_micro"),
     )
 
 
