@@ -148,7 +148,13 @@ def fold_profile_batch(
     counters2, new_pairs = fold_profile_batch_delta(
         state, batch, key_col, member_col, agg_exprs
     )
-    pairs2 = new_pairs if pairs is None else pairs.unionByName(new_pairs)
+    if pairs is None:
+        return (counters2, new_pairs)
+    # toDF re-aliases the union's output with fresh expression ids: the lazy
+    # union otherwise exposes the first checkpoint's original ids, which
+    # collide with the next batch's scan of the same source relation and
+    # break the anti-join's self-join column resolution
+    pairs2 = pairs.unionByName(new_pairs).toDF(*new_pairs.columns)
     return (counters2, pairs2)
 
 

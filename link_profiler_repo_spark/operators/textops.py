@@ -127,18 +127,52 @@ def word_ngrams_or_empty(words: Column, n: int) -> Column:
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One scan, all derived metrics as plain columns."""
+    """One scan, all derived metrics as plain columns.
+
+    The shared subtrees — the tokenized words array, the punct-stripped
+    length, then the token/stopword counts — are staged through NAMED
+    columns across projections instead of inlined per metric: the scalar
+    helpers above re-derive _words per call, and higher-order expressions
+    (filter/transform lambdas) sit outside whole-stage-codegen subexpression
+    elimination, so the inline form re-tokenizes every row once per metric
+    (7x here). Each staged column is built once per row; every metric
+    expression below is value-identical to its scalar helper."""
     t = F.col(text_col)
-    return df.select(
+    base = df.select(
         F.col(id_col).alias("doc_id"),
-        token_count(t).alias("n_tokens"),
-        bpe_ish_token_count(t).alias("n_subtokens"),
-        F.round(punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(quality_score(t), 6).alias("quality"),
-        F.round(flesch_reading_ease(t), 4).alias("flesch"),
-        lang_id(t).alias("lang_pred"),
-        doc_fingerprint(t).alias("fingerprint"),
+        t.alias("_t"),
+        _words(t).alias("_w"),
+        F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", "")).alias("_p"),
+    )
+    w = F.col("_w")
+    m = base.select(
+        "doc_id",
+        "_t",
+        "_w",
+        "_p",
+        F.size(w).alias("_n"),
+        F.size(F.filter(w, lambda x: x.isin(*EN_STOPWORDS))).alias("_sw"),
+    )
+    tt = F.col("_t")
+    n = F.col("_n")
+    swr = F.col("_sw").cast("double") / F.greatest(n, F.lit(1))
+    pr = F.col("_p").cast("double") / F.greatest(F.length(tt), F.lit(1))
+    alnum_runs = F.size(
+        F.filter(F.split(tt, r"[^a-zA-Z0-9]+"), lambda x: F.length(x) > 0)
+    )
+    length_ok = F.when((n >= 20) & (n <= 2000), 0.4).when(n >= 5, 0.2).otherwise(0.0)
+    punct_ok = F.when(pr <= 0.2, 0.3).otherwise(0.1)
+    sw_ok = F.when(swr >= 0.05, 0.3).otherwise(0.1)
+    return m.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (alnum_runs + F.col("_p")).alias("n_subtokens"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(swr, 6).alias("stopword_ratio"),
+        F.round((length_ok + punct_ok + sw_ok).cast("double"), 6).alias("quality"),
+        F.round(flesch_reading_ease(tt), 4).alias("flesch"),
+        F.when(swr >= 0.03, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+        F.md5(F.concat_ws(" ", F.col("_w"))).alias("fingerprint"),
     )
 
 
