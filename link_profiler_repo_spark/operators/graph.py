@@ -46,6 +46,20 @@ def _hashed_ids_ok(nodes: DataFrame, id_col: str = "node") -> bool:
     return agg["k"] == agg["n"]
 
 
+def _count_and_hash_check(nodes: DataFrame, id_col: str = "node") -> tuple[int, bool]:
+    """(row count, _hashed_ids_ok) in ONE aggregate over the cached node
+    table instead of a count job followed by the collision-check job — every
+    ranker needs both, and the two separate passes were pure fixed overhead
+    per call (ADVICE r05)."""
+    if isinstance(nodes.schema[id_col].dataType, (T.LongType, T.IntegerType)):
+        return nodes.count(), False
+    agg = nodes.agg(
+        F.count("*").alias("n"),
+        F.count_distinct(F.xxhash64(id_col)).alias("k"),
+    ).first()
+    return agg["n"], agg["k"] == agg["n"]
+
+
 def _restore_node_keys(
     df: DataFrame, node_map: DataFrame, id_col: str = "node"
 ) -> DataFrame:
@@ -87,15 +101,14 @@ def pagerank(
         .repartition("node")
         .persist()
     )
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
     # Hashed-id tier (see _hashed_ids_ok): every per-iteration structure —
     # cached edges, rank state, the three O(|V|) exchanges per round —
     # carries 8-byte longs; output is identical (ranks map back through the
     # cached node table at the end; native-key path on the astronomically
-    # rare hash collision).
-    hashed = _hashed_ids_ok(nodes)
+    # rare hash collision). Count and collision check share one aggregate.
+    n, hashed = _count_and_hash_check(nodes)
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
     if hashed:
         e = e.select(
             F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
@@ -259,14 +272,14 @@ def hits(
         .repartition("node")
         .persist()
     )
-    n = nodes.count()
+    # hashed-id tier: both per-half-step score exchanges and BOTH cached
+    # edge copies carry longs (see _hashed_ids_ok / pagerank); count and
+    # collision check share one aggregate
+    n, hashed = _count_and_hash_check(nodes)
     if n == 0:
         return nodes.withColumn("hub", F.lit(0.0)).withColumn(
             "authority", F.lit(0.0)
         )
-    # hashed-id tier: both per-half-step score exchanges and BOTH cached
-    # edge copies carry longs (see _hashed_ids_ok / pagerank)
-    hashed = _hashed_ids_ok(nodes)
     if hashed:
         e = e.select(
             F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
@@ -431,12 +444,24 @@ def trustrank(
         "node", F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed")
     )
     nd = nd.localCheckpoint(eager=True)
-    ns = nd.agg(F.sum("is_seed")).first()[0] or 0
+    # seed count + hash-collision check in ONE aggregate over the
+    # checkpointed node table (two separate jobs were fixed overhead —
+    # ADVICE r05; spam_mass pays this path twice per call)
+    if isinstance(nd.schema["node"].dataType, (T.LongType, T.IntegerType)):
+        ns = nd.agg(F.sum("is_seed")).first()[0] or 0
+        hashed = False
+    else:
+        agg = nd.agg(
+            F.sum("is_seed").alias("s"),
+            F.count("*").alias("n"),
+            F.count_distinct(F.xxhash64("node")).alias("k"),
+        ).first()
+        ns = agg["s"] or 0
+        hashed = agg["k"] == agg["n"]
     if ns == 0:
         return nd.select("node", F.lit(0.0).alias("trust"))
     # hashed-id tier: the teleport column rides the hashed node table; the
     # loop and caches carry longs, keys restored at the end (see pagerank)
-    hashed = _hashed_ids_ok(nd)
     if hashed:
         node_map = nd
         e = e.select(
