@@ -48,8 +48,81 @@ def _spark():
     return spark
 
 
+def minhash_stages(cores: int, reps: int = 2) -> dict:
+    """Per-stage attribution of the MinHash kernel (VERDICT r05 #4): wall
+    per stage at `cores`, best-of-reps, over the bench signature corpus.
+    Stages: (sig) the signature UDF pass alone; (band) banding + candidate
+    self-join from a PERSISTED signature table; (agree) the numpy agreement
+    join from the same persisted table. Run this pinned (taskset) at 4 and
+    16 cores and compare stage ratios."""
+    import time as _t
+
+    from bench import DEDUP_REP, ensure_dedup_docs
+    from link_profiler_repo_spark.operators.dedup import (
+        minhash_pairs_from_sigs,
+        minhash_signatures,
+    )
+    from link_profiler_repo_spark.session import get_spark
+
+    spark = get_spark(app=f"mh-stages-{cores}", cores=cores, shuffle_partitions=32)
+    docs = spark.read.parquet(ensure_dedup_docs(spark, DEDUP_REP))
+    docs.count()
+    out = {"cores": cores, "n_docs": docs.count()}
+
+    def best(label, mk):
+        walls = []
+        for _ in range(reps):
+            spark.sparkContext.setJobDescription(f"mh {label}")
+            t0 = _t.monotonic()
+            mk().write.format("noop").mode("overwrite").save()
+            walls.append(round(_t.monotonic() - t0, 2))
+        out[label] = min(walls)
+        out[f"{label}_samples"] = walls
+
+    # warm the whole path once
+    minhash_signatures(docs.limit(2000)).count()
+    best("sig", lambda: minhash_signatures(docs))
+    sig = minhash_signatures(docs).persist()
+    sig.count()
+    # candidates alone (banding + bucket self-join + distinct), no agree
+    # kernel — the same subplan minhash_pairs_from_sigs builds internally
+    import pyspark.sql.functions as F
+
+    def _cand():
+        s = sig.select(F.col("doc_id").alias("_id"), "sig")
+        bands_df = s.select(
+            "_id",
+            F.posexplode(
+                F.array(*[F.hash(F.slice("sig", i * 4 + 1, 4)) for i in range(32)])
+            ).alias("band", "bucket"),
+        )
+        left, right = bands_df.alias("l"), bands_df.alias("r")
+        return (
+            left.join(
+                right,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l._id") < F.col("r._id")),
+            )
+            .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+            .distinct()
+        )
+
+    best("band+cand", _cand)
+    best(
+        "full(agree)",
+        lambda: minhash_pairs_from_sigs(sig, threshold=0.7, agree_kernel="numpy"),
+    )
+    sig.unpersist()
+    spark.stop()
+    return out
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "time"
+    if mode == "minhash-stages":
+        print(json.dumps(minhash_stages(int(sys.argv[2]))))
+        return
     names = sys.argv[2:] or HEADLINE
     from link_profiler_repo_spark.queries import SPARK_QUERIES
 
