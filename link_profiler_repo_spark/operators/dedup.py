@@ -962,6 +962,13 @@ def exact_substr_spans(
     wins = toks.select(
         id_col, F.posexplode(word_ngrams_or_empty(F.col("_ws"), min_len)).alias("p", "_g")
     ).select(id_col, "p", F.md5("_g").alias("k"))
+    # the window-key table feeds BOTH the first-occurrence aggregate and the
+    # join back; materialize the narrow (id, p, hash) rows once (lazy: the
+    # first consumer fills it) — without this the tokenize -> n-gram ->
+    # md5 pipeline is evaluated twice (plan audit r06: three corpus scans,
+    # two Generates). At scale this is the pass a real ExactSubstr pipeline
+    # persists anyway (signatures are the currency, text never reshuffles).
+    wins = wins.localCheckpoint(eager=False)
     firsts = wins.groupBy("k").agg(
         F.count("*").alias("c"), F.min(F.struct(id_col, "p")).alias("f")
     )
