@@ -737,11 +737,21 @@ class CrawlEngine:
             # partition-count job was re-running all of it per epoch (~10% of
             # loop wall at the bench point); the stored table is one file scan
             # with the same rows
-            self._log_metrics(
-                epoch,
+            # metrics write overlapped with the bloom fold below (both only
+            # READ the already-filled fetched cache / the stored frontier
+            # file, so no cache-fill lock contention); joined before the
+            # bucketed append for the eviction-recompute reason above
+            fut_metrics = _submit(
+                pool, self._log_metrics, epoch,
                 [("crawled", fetched),
                  ("scheduled", store.read_epoch(spark, "frontier", epoch))],
             )
+            self._step(epoch, "bloom_insert")
+            bloom = self._bloom_insert(bloom, seen_delta)
+            if bloom is not None:
+                store.write_bloom(epoch, bloom)
+            if fut_metrics is not None:
+                fut_metrics.result()
             if self._bucketed is not None:
                 # append AFTER all of this wave's anti-join consumers ran —
                 # spark.table() is lazy, so an earlier append would leak this
@@ -752,10 +762,6 @@ class CrawlEngine:
                     self._bucketed.append(keys)
                 else:
                     self._bucketed.init(keys)
-            self._step(epoch, "bloom_insert")
-            bloom = self._bloom_insert(bloom, seen_delta)
-            if bloom is not None:
-                store.write_bloom(epoch, bloom)
 
             crawled += n_crawled_wave
             store.commit({"epoch": epoch, "crawled": crawled, "mode": "bfs"})
