@@ -481,6 +481,11 @@ def paragraph_dedup(
     keyed = paras.withColumn(
         "k", F.regexp_replace(F.lower(F.col("para")), r"[^a-z]+", "")
     )
+    # the paragraph table feeds four consumers (winner agg, join back, the
+    # blank-paragraph union branch, totals): materialize the split+normalize
+    # once — the CCNet paragraph table is the materialization boundary of
+    # the published pipeline anyway (plan audit r06: 8 scans before, 2 after)
+    keyed = keyed.localCheckpoint(eager=False)
     content = keyed.filter(F.col("k") != "")
     winners = content.groupBy("k").agg(
         F.min(F.struct(id_col, "pos")).alias("w")
@@ -502,7 +507,9 @@ def paragraph_dedup(
             "\n",
         ).alias("clean_text"),
     )
-    totals = paras.groupBy(id_col).agg(F.count("*").cast("long").alias("n_paras"))
+    # derived from the checkpointed keyed table (same rows as paras plus the
+    # key column) so the split+posexplode never re-runs
+    totals = keyed.groupBy(id_col).agg(F.count("*").cast("long").alias("n_paras"))
     return totals.join(rebuilt, id_col, "left").select(
         id_col,
         "n_paras",
