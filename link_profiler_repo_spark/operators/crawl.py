@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..config import CrawlConfig
 from ..functions.bloom import add_to_bloom, might_contain_udf
 from ..functions.extract import with_links
+from ..functions.localdf import local_df
 from ..functions.urls import canonicalize, url_host, url_sha256
 from ..state import StateStore
 from ..synth import SynthParams
@@ -521,7 +522,7 @@ class CrawlEngine:
 
     def _seed_frontier(self, seeds: list[str]) -> DataFrame:
         rows = [(u, i) for i, u in enumerate(seeds)]
-        df = self.spark.createDataFrame(rows, schema="url string, wave_seq long")
+        df = local_df(self.spark, rows, "url string, wave_seq long")
         return self._with_keys(df).withColumn("depth", F.lit(0)).select(*_FRONTIER_COLS)
 
     def run_bfs(self, seeds: list[str], resume: bool = False) -> dict:
@@ -978,7 +979,7 @@ class CrawlEngine:
             epoch = 0
             crawled = 0
             seed_rows = [(u, i) for i, u in enumerate(seeds)]
-            df = spark.createDataFrame(seed_rows, schema="url string, arrival_seq long")
+            df = local_df(spark, seed_rows, "url string, arrival_seq long")
             # sitemap -> frontier wiring (robots_parser.py:149-171 discovery
             # path): robots `Sitemap:` URLs are depth-0 candidates admitted
             # after the user seeds, deterministically ordered by

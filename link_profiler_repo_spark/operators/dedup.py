@@ -740,7 +740,9 @@ def semdedup(
     )
     spark = df.sparkSession
     cent_rows = [(i, [float(x) for x in v]) for i, v in enumerate(centroids)]
-    cdf = spark.createDataFrame(cent_rows, "cell int, c array<double>")
+    from ..functions.localdf import local_df
+
+    cdf = local_df(spark, cent_rows, "cell int, c array<double>")
     stored = cells.select(
         id_col, "cell",
         F.transform(vec_col, lambda x: x.cast("double")).alias("e"),

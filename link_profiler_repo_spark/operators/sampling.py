@@ -133,7 +133,10 @@ def mixture_rates(
 def _targets_df(
     spark: SparkSession, strata_col: str, targets: dict[str, float]
 ) -> DataFrame:
-    return spark.createDataFrame(
+    from ..functions.localdf import local_df
+
+    return local_df(
+        spark,
         [(k, float(v)) for k, v in sorted(targets.items())],
         f"{strata_col} string, _t double",
     )

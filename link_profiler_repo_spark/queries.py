@@ -22,6 +22,7 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from .functions.localdf import local_df
 from .operators import textops
 from .operators.similarity import brute_force_topk
 
@@ -1735,16 +1736,27 @@ def q_semdedup(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings", fanout=False)
     n_rows = e.count()
+    # training samples from the UNREPARTITIONED scan (per-partition Bernoulli
+    # sampling: changing its partitioning would change the sampled centroids)
     cents = train_centroids(e, max(4, int(n_rows ** 0.5)), n_rows=n_rows)
-    cells = assign_cells(e, cents, replicas=1)
-    cdf = spark.createDataFrame(
+    # the export pipeline (assignment UDF + double cast + parquet encode) is
+    # partitioning-independent; fan it out BELOW the UDF so it does not run
+    # as one serial task on the single-row-group scan (the oracle globs the
+    # directory, so file count is free). Size-adaptive: ~2k rows per task,
+    # capped at the session parallelism — a tiny table is not worth 32
+    # Python-worker spin-ups, a big one fans out fully.
+    n_par = max(1, min(spark.sparkContext.defaultParallelism, n_rows // 256))
+    e_par = e.repartition(n_par) if n_par > 1 else e
+    cells = assign_cells(e_par, cents, replicas=1)
+    cdf = local_df(
+        spark,
         [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
         "cell int, c array<double>",
     )
     cells.select(
         "vec_id", "cell",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    ).join(F.broadcast(cdf), "cell").coalesce(1).write.mode("overwrite").parquet(
+    ).join(F.broadcast(cdf), "cell").write.mode("overwrite").parquet(
         _GATE_SEMDEDUP_PATH
     )
     stored = spark.read.parquet(_GATE_SEMDEDUP_PATH)
@@ -2479,7 +2491,7 @@ def _redirects_fixture(spark):
     cycle = spark.range(3).select(
         tag("c", i).alias("src"), tag("c", (i + 1) % 3).alias("dst")
     )
-    dupe = spark.createDataFrame([("u0", "u5")], "src string, dst string")
+    dupe = local_df(spark, [("u0", "u5")], "src string, dst string")
     return chains.union(long_chain).union(cycle).union(dupe)
 
 
@@ -2938,7 +2950,8 @@ def q_corpus_build_sem(spark, sf_dir):
     n_rows = e.count()
     cents = train_centroids(e, max(4, int(n_rows ** 0.5)), n_rows=n_rows)
     cells = assign_cells(e, cents, replicas=1)
-    cdf = spark.createDataFrame(
+    cdf = local_df(
+        spark,
         [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
         "cell int, c array<double>",
     )
@@ -4256,6 +4269,9 @@ SQL_ORACLES["warc_cdx_index"] = SQL_WARC_CDX_INDEX
 
 
 def q_quality_classifier(spark, sf_dir):
+    # fanout=False measured FASTER here (2.0s vs 7.4s total): with the
+    # round-robin exchange below them, the train/score gram trees lose the
+    # named-column staging collapse and re-evaluate per output row
     d = load(spark, sf_dir, "documents", fanout=False).select("doc_id", "text")
     i = F.col("id")
     grafts = spark.range(1).select(
