@@ -70,27 +70,60 @@ def _positions(h: np.ndarray, m_bits: int, k: int) -> list[np.ndarray]:
 
 
 def build_bloom(df: DataFrame, xx_col: str, m_bits: int = 1 << 23, k: int = 4) -> np.ndarray:
-    """Distributed build: per-partition partial bitmaps (packed uint8),
-    OR-reduced driver-side. Returns the bitmap (m_bits/8 bytes)."""
+    """Distributed build: per-partition partials OR-reduced driver-side.
+    Adaptive partial encoding: a partition with few rows ships its k*n SET
+    POSITIONS (uint32, 'pos' kind) instead of a full m_bits/8-byte packed
+    bitmap — a small crawl-wave delta then collects kilobytes instead of
+    partitions x 256 KB, and skips the per-partition m-bit zeros+packbits
+    pass. Dense partitions keep the fixed-size bitmap partial ('bm'), which
+    is what bounds driver traffic at scale. Same resulting bitmap bit for
+    bit either way. Returns the bitmap (m_bits/8 bytes)."""
     nbytes = m_bits // 8
 
     def partial(it):
-        bits = np.zeros(m_bits, dtype=bool)
-        any_rows = False
+        pos_parts: list[np.ndarray] = []
+        n_pos = 0
+        bits = None  # dense-mode accumulator, allocated on first promotion
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            any_rows = True
             h = pdf[xx_col].to_numpy(dtype=np.int64).view(np.uint64)
-            for pos in _positions(h, m_bits, k):
-                bits[pos] = True
-        if any_rows:
-            yield pd.DataFrame({"bitmap": [np.packbits(bits).tobytes()]})
+            ps = _positions(h, m_bits, k)
+            if bits is None:
+                pos_parts.extend(p.astype(np.uint32) for p in ps)
+                n_pos += len(h) * k
+                # promote to bitmap once positions outweigh the packed bits
+                if n_pos * 4 > nbytes:
+                    bits = np.zeros(m_bits, dtype=bool)
+                    for p in pos_parts:
+                        bits[p] = True
+                    pos_parts = []
+            else:
+                for p in ps:
+                    bits[p] = True
+        if bits is not None:
+            yield pd.DataFrame(
+                {"kind": ["bm"], "data": [np.packbits(bits).tobytes()]}
+            )
+        elif pos_parts:
+            yield pd.DataFrame(
+                {"kind": ["pos"], "data": [np.concatenate(pos_parts).tobytes()]}
+            )
 
-    partials = df.select(xx_col).mapInPandas(partial, schema="bitmap binary").collect()
+    partials = df.select(xx_col).mapInPandas(
+        partial, schema="kind string, data binary"
+    ).collect()
     out = np.zeros(nbytes, dtype=np.uint8)
+    bits_acc = None
     for row in partials:
-        out |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+        if row["kind"] == "bm":
+            out |= np.frombuffer(row["data"], dtype=np.uint8)
+        else:
+            if bits_acc is None:
+                bits_acc = np.zeros(m_bits, dtype=bool)
+            bits_acc[np.frombuffer(row["data"], dtype=np.uint32)] = True
+    if bits_acc is not None:
+        out |= np.packbits(bits_acc)
     return out
 
 

@@ -529,13 +529,20 @@ class CrawlEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         pool = ThreadPoolExecutor(max_workers=2) if self.concurrent_sinks else None
+        # metrics always get their own 1-thread pool: the counters write only
+        # READS the already-filled fetched cache and the stored frontier file,
+        # so it safely rides next to the bloom fold regardless of whether the
+        # heavier seen/edges sink overlap (concurrent_sinks) is enabled —
+        # measured ~0.8 s/epoch of pure serial wall otherwise
+        mpool = ThreadPoolExecutor(max_workers=1)
         try:
-            return self._run_bfs(seeds, resume, pool)
+            return self._run_bfs(seeds, resume, pool, mpool)
         finally:
+            mpool.shutdown(wait=True)
             if pool is not None:
                 pool.shutdown(wait=True)
 
-    def _run_bfs(self, seeds: list[str], resume: bool, pool) -> dict:
+    def _run_bfs(self, seeds: list[str], resume: bool, pool, mpool=None) -> dict:
         cfg, spark, store = self.cfg, self.spark, self.store
         t0 = time.monotonic()
 
@@ -743,7 +750,7 @@ class CrawlEngine:
             # file, so no cache-fill lock contention); joined before the
             # bucketed append for the eviction-recompute reason above
             fut_metrics = _submit(
-                pool, self._log_metrics, epoch,
+                mpool if mpool is not None else pool, self._log_metrics, epoch,
                 [("crawled", fetched),
                  ("scheduled", store.read_epoch(spark, "frontier", epoch))],
             )

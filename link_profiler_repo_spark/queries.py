@@ -2831,6 +2831,9 @@ def q_incremental_profile(spark, sf_dir):
         state = fold_profile_batch(
             state, batch, key_col="o_custkey", member_col="o_orderstatus",
             agg_exprs=aggs,
+            # the last epoch's counters are consumed exactly once (the gate
+            # projection below) — skip the final store materialization
+            checkpoint=(i < 2),
         )
     counters, _pairs = state
     return counters.select(

@@ -139,3 +139,27 @@ def test_positions_distinct_beyond_six_probes():
     pos = _positions(h, 1 << 16, 8)
     assert not np.array_equal(pos[6], pos[0])
     assert not np.array_equal(pos[7], pos[1])
+
+
+def test_build_bloom_adaptive_partials_identical(spark):
+    """build_bloom's adaptive partial encoding (sparse position lists vs
+    dense packed bitmaps, promotion mid-partition) must yield the identical
+    bitmap for every partitioning of the same keys: 1 partition (one big
+    partial, promoted dense at default m), 32 partitions (sparse
+    position-mode partials), and a tiny m that forces promotion after the
+    first batch."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from link_profiler_repo_spark.functions.bloom import build_bloom
+
+    df = spark.range(0, 5000).select(F.xxhash64("id").alias("xx64"))
+    m = 1 << 18
+    one = build_bloom(df.coalesce(1), "xx64", m_bits=m)
+    wide = build_bloom(df.repartition(32), "xx64", m_bits=m)
+    assert np.array_equal(one, wide)
+    tiny_m = 1 << 10  # positions (5000*4*4B) >> bits (128 B): promotes early
+    t_one = build_bloom(df.coalesce(1), "xx64", m_bits=tiny_m)
+    t_wide = build_bloom(df.repartition(32), "xx64", m_bits=tiny_m)
+    assert np.array_equal(t_one, t_wide)
+    assert one.any() and t_one.any()
