@@ -68,6 +68,14 @@ def build_corpus(
     d = docs.select(
         id_col, strata_col, text_col, textops.token_count(t).alias("n_tokens")
     )
+    # materialize the projected (redacted text + token count) table BEFORE
+    # the quality filter: predicate pushdown otherwise drags the entire
+    # redact+tokenize tree below the scan-side exchange — inlined once per
+    # quality clause (~7x) into the (often single-task) scan stage, then
+    # recomputed above it for the survivors (measured as a 2.6 s one-task
+    # stage at sf0.1). This is the quality-stage input boundary a real
+    # pipeline persists; the checkpoint severs the pushdown path.
+    d = d.localCheckpoint(eager=True)
     n = F.col("n_tokens")
     quality_deci = (
         F.when((n >= 20) & (n <= 2000), 4).when(n >= 5, 2).otherwise(0)
