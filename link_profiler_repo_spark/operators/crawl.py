@@ -597,12 +597,18 @@ class CrawlEngine:
             # dedup on url_hash, not raw url: they are the same identity under
             # canonical_mode='identity' (sha256 of the raw string), but under
             # 'full' two raw spellings of one canonical URL must collapse here
-            # (scheduler mode already keys its dedup on url_hash)
-            w = Window.partitionBy("url_hash").orderBy("wave_seq")
+            # (scheduler mode already keys its dedup on url_hash).
+            # min_by over the dense-unique wave_seq (ties impossible: every
+            # frontier row carries a distinct index) picks the identical
+            # first-occurrence row as the former row_number window, but as a
+            # HASH aggregation: partial (map-side) combine collapses dup
+            # enqueues before the exchange and no per-partition sort runs
+            other = [c for c in elig.columns if c != "url_hash"]
             elig = (
-                elig.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
+                elig.groupBy("url_hash")
+                .agg(F.min_by(F.struct(*other), F.col("wave_seq")).alias("_r"))
+                .select("url_hash", *[F.col(f"_r.{c}").alias(c) for c in other])
+                .select(*elig.columns)
             )
             elig = self._not_seen(elig, seen, bloom)
 
