@@ -137,8 +137,11 @@ def bpe_train(
         state = state.select(
             "freq", _merge_udf(left, right)("syms").alias("syms")
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "step int, left string, right string, merged string, pair_freq bigint"
+    from ..functions.localdf import local_df
+
+    return local_df(
+        spark, merges,
+        "step int, left string, right string, merged string, pair_freq bigint",
     )
 
 

@@ -1178,9 +1178,10 @@ def _export_sim_order(spark, order, path):
     driver's DuckDB oracle can hash-compare engine vs simulator (VERDICT r04
     next #4) — BFS itself is not re-derived in SQL; the oracle is the same
     pure-Python reference simulator the pytest equality suite trusts."""
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(int(o), u, int(d)) for o, u, d in order],
-        schema="crawl_order bigint, url string, depth int",
+        "crawl_order bigint, url string, depth int",
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
@@ -1510,8 +1511,8 @@ def q_media_decode(spark, sf_dir):
         for ref in wav_refs
         for p in range(FEATURE_DIM)
     ]
-    spark.createDataFrame(
-        twin or [("__none__", 0, 0)], "media_ref string, pos bigint, val bigint"
+    local_df(
+        spark, twin or [("__none__", 0, 0)], "media_ref string, pos bigint, val bigint"
     ).coalesce(1).write.mode("overwrite").parquet(_GATE_MEDIA_WAV_TWIN_PATH)
 
     meta = media_meta(media).select("media_ref", "format")
@@ -3076,7 +3077,8 @@ def q_bpe_train(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     merges = bpe_train(d, num_merges=20)
     texts = [r["text"] for r in d.select("text").collect()]
-    spark.createDataFrame(
+    local_df(
+        spark,
         py_bpe_train(texts, num_merges=20),
         "step int, left string, right string, merged string, pair_freq bigint",
     ).coalesce(1).write.mode("overwrite").parquet(_GATE_BPE_TRAIN_PATH)
@@ -3110,8 +3112,8 @@ def q_bpe_encode(spark, sf_dir):
         (did, n_w, n_t, seg)
         for did, (n_w, n_t, seg) in py_bpe_encode(texts, ml).items()
     ]
-    spark.createDataFrame(
-        twin, "doc_id long, n_words int, n_bpe_tokens int, segmented string"
+    local_df(
+        spark, twin, "doc_id long, n_words int, n_bpe_tokens int, segmented string"
     ).coalesce(1).write.mode("overwrite").parquet(_GATE_BPE_ENC_PATH)
     return bpe_encode(d, merges)
 
@@ -4154,7 +4156,8 @@ def q_warc_roundtrip(spark, sf_dir):
     manifest = save_warc(recs, arch, gzip_members=True).collect()
 
     twin = oracle_warc_parse([r["path"] for r in manifest])
-    twin_df = spark.createDataFrame(
+    twin_df = local_df(
+        spark,
         [
             (
                 t["warc_file"], t["record_seq"], t["rec_offset"], t["warc_type"],
@@ -4216,7 +4219,8 @@ def q_warc_cdx_index(spark, sf_dir):
     recs = synth_warc_records(spark, 35).repartition(3, "record_id")
     manifest = save_warc(recs, arch, gzip_members=True).collect()
     twin = oracle_warc_parse([r["path"] for r in manifest])
-    spark.createDataFrame(
+    local_df(
+        spark,
         [
             (
                 t["warc_file"], t["rec_offset"], t["warc_type"], t["target_uri"],

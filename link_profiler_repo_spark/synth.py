@@ -233,9 +233,10 @@ def robots_rows(p: SynthParams) -> list[dict]:
 
 
 def robots_spark(spark, p: SynthParams):
+    from .functions.localdf import local_df
     from .schemas import ROBOTS
 
-    return spark.createDataFrame(robots_rows(p), schema=ROBOTS)
+    return local_df(spark, robots_rows(p), ROBOTS)
 
 
 def domain_info_expr(name_col):
