@@ -954,9 +954,15 @@ class CrawlEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         pool = ThreadPoolExecutor(max_workers=2) if self.concurrent_sinks else None
+        # metrics pool: same always-on overlap as BFS mode (the counters
+        # write only reads the filled caches / stored epoch tables)
+        mpool = ThreadPoolExecutor(max_workers=1)
         try:
-            return self._run_scheduler(seeds, resume, max_epochs, collect_waves, pool)
+            return self._run_scheduler(
+                seeds, resume, max_epochs, collect_waves, pool, mpool
+            )
         finally:
+            mpool.shutdown(wait=True)
             if pool is not None:
                 pool.shutdown(wait=True)
 
@@ -967,6 +973,7 @@ class CrawlEngine:
         max_epochs: int,
         collect_waves: bool,
         pool,
+        mpool=None,
     ) -> dict:
         cfg, spark, store = self.cfg, self.spark, self.store
         t0 = time.monotonic()
@@ -1288,20 +1295,21 @@ class CrawlEngine:
                 cand.select("url_hash", "xx64").withColumn("epoch", F.lit(epoch)),
                 coalesce=1 if small else None,
             )
+            # metrics overlapped with the bloom fold (stored-table count,
+            # not the live union plan — see BFS loop); joined before commit
+            fut_metrics = _submit(
+                mpool if mpool is not None else pool, self._log_metrics, epoch,
+                [("crawled", fetched),
+                 ("scheduled", store.read_epoch(spark, "frontier_sched", epoch))],
+            )
             bloom = self._bloom_insert(bloom, cand.select("xx64"))
             if bloom is not None:
                 store.write_bloom(epoch, bloom)
             # join the overlapped sinks before commit/unpersist (resume
             # contract: a committed epoch's files all exist)
-            for fut in (fut_seen, fut_edges):
+            for fut in (fut_seen, fut_edges, fut_metrics):
                 if fut is not None:
                     fut.result()
-            # stored-table count, not the live union plan (see BFS loop)
-            self._log_metrics(
-                epoch,
-                [("crawled", fetched),
-                 ("scheduled", store.read_epoch(spark, "frontier_sched", epoch))],
-            )
 
             crawled += n_crawl
             store.commit({"epoch": epoch, "crawled": crawled, "seq": seq_counter, "mode": "sched"})
