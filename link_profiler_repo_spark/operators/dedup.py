@@ -62,8 +62,14 @@ def _hash_tokens(tokens: list[str], seed: np.uint64) -> np.ndarray:
     if not tokens:
         return np.empty(0, dtype=np.uint64)
     # dtype=bytes coerces str->ASCII in C (tokens are [a-z0-9]+ by the
-    # _tokenize contract), skipping len(tokens) Python .encode() calls
-    b = np.array(tokens, dtype=bytes)
+    # _tokenize contract), skipping len(tokens) Python .encode() calls.
+    # A non-ASCII token would raise UnicodeEncodeError deep in numpy
+    # (ADVICE r5): fall back to explicit UTF-8 encoding for that batch so a
+    # future caller violating the contract gets a hash, not a crash.
+    try:
+        b = np.array(tokens, dtype=bytes)
+    except UnicodeEncodeError:
+        b = np.array([t.encode("utf-8") for t in tokens], dtype=bytes)
     lens = np.char.str_len(b).astype(np.int64)  # byte lengths (no NULs in [a-z0-9 ])
     width = b.dtype.itemsize
     h = np.full(len(tokens), np.uint64(1469598103934665603) ^ seed, dtype=np.uint64)

@@ -542,3 +542,19 @@ def test_semdedup_plan_per_cell_join_single_closure(spark):
     assert "min(struct(cent_sim_q" in final_plan
     assert "Window" not in final_plan
     assert "CartesianProduct" not in final_plan
+
+
+def test_hash_tokens_non_ascii_fallback():
+    """_hash_tokens must hash (not crash) when a caller bypasses the
+    [a-z0-9]+ tokenize contract with non-ASCII tokens (ADVICE r5): the
+    C-level ASCII packing raises UnicodeEncodeError, and the UTF-8
+    fallback must keep ASCII tokens' hashes identical to the fast path."""
+    import numpy as np
+
+    from link_profiler_repo_spark.operators.dedup import _hash_tokens
+
+    fast = _hash_tokens(["abc", "def9"], np.uint64(7))
+    mixed = _hash_tokens(["abc", "déf9"], np.uint64(7))
+    assert mixed[0] == fast[0]          # ASCII token unchanged
+    assert mixed[1] != fast[1]          # non-ASCII token gets its own hash
+    assert mixed.dtype == np.uint64
